@@ -66,7 +66,7 @@ def test_similarity_loss_matches_torch(n):
     scores = rng.normal(size=(n, n)).astype(np.float32)
     expected = (-torch.log(torch.sigmoid(torch.from_numpy(scores).diag()))).mean().item()
     actual = float(similarity_loss(jnp.asarray(scores)))
-    assert actual == pytest.approx(expected, rel=1e-5)
+    assert actual == pytest.approx(expected, rel=1e-4)
 
 
 def test_nce_loss_is_differentiable():
