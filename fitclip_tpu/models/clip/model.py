@@ -1,0 +1,298 @@
+"""CLIP dual encoder (ViT vision tower + causal text transformer) in Flax.
+
+A from-scratch TPU-first implementation with the same math as OpenAI CLIP
+(the reference wraps the `clip` package, aligner/encoder/clip_video_text_encoder.py):
+
+- Patch embedding as an unfold + matmul instead of a conv: XLA maps it straight
+  onto the MXU with no layout shuffling.
+- Transformer blocks are stacked with `nn.scan` (single compiled block body,
+  layer-stacked parameters): faster compiles, and `remat` drops activation
+  memory for training at ViT scale.
+- Parameters live in fp32; activations run in a configurable compute dtype
+  (bf16 on TPU). LayerNorms and softmax accumulate in fp32.
+- The pixel normalization ((x/255 - mean) / std) can be folded into the patch
+  embedding weights (`fold_pixel_normalization`) so the device-side input stays
+  uint8 — 4x less HBM traffic on the eval hot path.
+
+`logit_scale` is intentionally not a model parameter: the framework owns the
+temperature in its train state, mirroring the reference deleting CLIP's own
+scale (clip_video_text_encoder.py:76-77).
+"""
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+# Explicit matmul precision: XLA's default lowers fp32 matmuls to bf16 passes
+# (on TPU and, in this build, even on CPU), which breaks the <=1e-3 parity bar.
+# For bf16 operands (the perf path) HIGHEST is a no-op, so this costs nothing.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    vision: VisionConfig = VisionConfig()
+    text: TextConfig = TextConfig()
+    quick_gelu: bool = True
+
+    @staticmethod
+    def vit_b_32() -> "CLIPConfig":
+        return CLIPConfig(vision=VisionConfig(patch_size=32))
+
+    @staticmethod
+    def vit_b_16() -> "CLIPConfig":
+        return CLIPConfig()
+
+    @staticmethod
+    def vit_l_14(image_size: int = 224) -> "CLIPConfig":
+        return CLIPConfig(
+            embed_dim=768,
+            vision=VisionConfig(image_size=image_size, patch_size=14, width=1024, layers=24, heads=16),
+            text=TextConfig(width=768, heads=12, layers=12))
+
+    @staticmethod
+    def tiny_test(vocab_size: int = 64) -> "CLIPConfig":
+        """Small config for unit tests: fast init/compile on CPU."""
+        return CLIPConfig(
+            embed_dim=32,
+            vision=VisionConfig(image_size=32, patch_size=16, width=48, layers=2, heads=4),
+            text=TextConfig(context_length=16, vocab_size=vocab_size, width=32, layers=2, heads=4))
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNormFp32(nn.Module):
+    """LayerNorm computed in fp32 regardless of activation dtype."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln")(
+            x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with a fused QKV projection (matches OpenAI's in_proj
+    layout so converted weights drop in as one matmul)."""
+    width: int
+    heads: int
+    causal: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        seq = x.shape[-2]
+        head_dim = self.width // self.heads
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(*t.shape[:-1], self.heads, head_dim)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        # fp32 logits + softmax for numeric stability under bf16 compute.
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                            preferred_element_type=jnp.float32, precision=PRECISION)
+        logits = logits * (head_dim ** -0.5)
+        if self.causal:
+            mask = jnp.tril(jnp.ones((seq, seq), dtype=bool))
+            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("...hqk,...khd->...qhd", weights, v, precision=PRECISION)
+        out = out.reshape(*out.shape[:-2], self.width)
+        return nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="out_proj")(out)
+
+
+class ResidualBlock(nn.Module):
+    width: int
+    heads: int
+    causal: bool
+    quick_gelu: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _=None):
+        x = x + MultiHeadAttention(self.width, self.heads, self.causal, self.dtype, name="attn")(
+            LayerNormFp32(self.dtype, name="ln_1")(x))
+        h = LayerNormFp32(self.dtype, name="ln_2")(x)
+        h = nn.Dense(4 * self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="mlp_fc")(h)
+        h = quick_gelu(h) if self.quick_gelu else nn.gelu(h, approximate=False)
+        h = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="mlp_proj")(h)
+        return x + h, None
+
+
+class Transformer(nn.Module):
+    """Layer-scanned transformer: parameters carry a leading `layers` axis."""
+    width: int
+    layers: int
+    heads: int
+    causal: bool
+    quick_gelu: bool
+    dtype: Dtype
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        block_cls = ResidualBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls, prevent_cse=False)
+        scanned = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.layers,
+            metadata_params={nn.meta.PARTITION_NAME: "layers"},
+        )(self.width, self.heads, self.causal, self.quick_gelu, self.dtype, name="blocks")
+        x, _ = scanned(x, None)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    config: VisionConfig
+    embed_dim: int
+    quick_gelu: bool
+    dtype: Dtype
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: (B, H, W, 3) in the model's expected (normalized) scale,
+        or uint8 if normalization has been folded into the patch kernel."""
+        cfg = self.config
+        b = images.shape[0]
+        g, p = cfg.grid_size, cfg.patch_size
+        x = images.astype(self.dtype)
+        # Unfold into patch vectors ordered (ph, pw, c) and project: one matmul
+        # on the MXU, bit-equivalent to a stride-p conv.
+        x = x.reshape(b, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * 3)
+        x = nn.Dense(cfg.width, use_bias=True, dtype=self.dtype, param_dtype=jnp.float32,
+                     precision=PRECISION, name="patch_embed")(x)
+
+        class_embedding = self.param("class_embedding", nn.initializers.normal(0.02),
+                                     (cfg.width,), jnp.float32)
+        cls = jnp.broadcast_to(class_embedding.astype(self.dtype), (b, 1, cfg.width))
+        x = jnp.concatenate([cls, x], axis=1)
+        pos = self.param("positional_embedding", nn.initializers.normal(0.01),
+                         (cfg.num_patches + 1, cfg.width), jnp.float32)
+        x = x + pos.astype(self.dtype)
+
+        x = LayerNormFp32(self.dtype, name="ln_pre")(x)
+        x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=False,
+                        quick_gelu=self.quick_gelu, dtype=self.dtype, remat=self.remat,
+                        name="transformer")(x)
+        x = LayerNormFp32(self.dtype, name="ln_post")(x[:, 0])
+        proj = self.param("proj", nn.initializers.normal(cfg.width ** -0.5),
+                          (cfg.width, self.embed_dim), jnp.float32)
+        return jnp.matmul(x, proj.astype(self.dtype), precision=PRECISION)
+
+
+class TextTransformer(nn.Module):
+    config: TextConfig
+    embed_dim: int
+    quick_gelu: bool
+    dtype: Dtype
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """input_ids: (B, context_length) int32; the EOT token must carry the
+        maximum id in each row (CLIP BPE convention) — pooling is argmax(ids)."""
+        cfg = self.config
+        embedding = self.param("token_embedding", nn.initializers.normal(0.02),
+                               (cfg.vocab_size, cfg.width), jnp.float32)
+        x = embedding[input_ids].astype(self.dtype)
+        pos = self.param("positional_embedding", nn.initializers.normal(0.01),
+                         (cfg.context_length, cfg.width), jnp.float32)
+        x = x + pos[: x.shape[1]].astype(self.dtype)
+        x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=True,
+                        quick_gelu=self.quick_gelu, dtype=self.dtype, remat=self.remat,
+                        name="transformer")(x)
+        x = LayerNormFp32(self.dtype, name="ln_final")(x)
+        eot = jnp.argmax(input_ids, axis=-1)
+        x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        proj = self.param("text_projection", nn.initializers.normal(cfg.width ** -0.5),
+                          (cfg.width, self.embed_dim), jnp.float32)
+        return jnp.matmul(x, proj.astype(self.dtype), precision=PRECISION)
+
+
+class CLIPModel(nn.Module):
+    config: CLIPConfig
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        self.visual = VisionTransformer(self.config.vision, self.config.embed_dim,
+                                        self.config.quick_gelu, self.dtype, self.remat)
+        self.text = TextTransformer(self.config.text, self.config.embed_dim,
+                                    self.config.quick_gelu, self.dtype, self.remat)
+
+    def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.visual(images)
+
+    def encode_text(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.text(input_ids)
+
+    def __call__(self, images: jnp.ndarray, input_ids: jnp.ndarray):
+        return self.encode_image(images), self.encode_text(input_ids)
+
+
+def fold_pixel_normalization(params, mean, std, scale_255: bool = True):
+    """Fold ((x / 255) - mean) / std into the patch-embedding kernel + bias.
+
+    After folding, `encode_image` takes raw uint8 pixels (cast to the compute
+    dtype) instead of normalized floats: W' = W * (1/(255*std_c)) per input
+    channel, b' = b - sum_patch W . (mean/std). Equivalent because the patch
+    embed is affine in the pixels.
+    """
+    import numpy as np
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    kernel = params["visual"]["patch_embed"]["kernel"]  # (p*p*3, width)
+    bias = params["visual"]["patch_embed"]["bias"]
+    mean = np.asarray(mean, dtype=kernel.dtype)
+    std = np.asarray(std, dtype=kernel.dtype)
+    ppc = kernel.shape[0] // 3  # patch pixels per channel group (ordered ph*pw, 3)
+    # kernel rows are ordered (ph, pw, c): channel varies fastest.
+    chan = np.tile(np.arange(3), ppc)
+    denom = (255.0 if scale_255 else 1.0) * std
+    new_kernel = kernel / denom[chan][:, None]
+    shift = (mean / std)[chan][:, None]
+    new_bias = bias - (kernel * shift).sum(axis=0)
+    params["visual"]["patch_embed"]["kernel"] = new_kernel
+    params["visual"]["patch_embed"]["bias"] = new_bias
+    return params
