@@ -1,0 +1,84 @@
+"""CLIP video-text encoder: per-frame image encoding with frame-mean pooling.
+
+Reference semantics (aligner/encoder/clip_video_text_encoder.py:68-146):
+video = fold frames into the batch, encode each frame, L2-normalize, mean over
+frames (mean of normalized embeddings == mean of predictions); text = encode +
+L2-normalize; eval preprocessing = bicubic resize + center crop + CLIP
+normalization; train = RandomResizedCrop(scale 0.5-1) + horizontal flip;
+4 uniform frames by default.
+"""
+
+from typing import Callable, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitclip_tpu.data.frame_sampler import (
+    RandomFromUniformIntervalsFrameSampler, UniformFrameSampler)
+from fitclip_tpu.models.api import PreprocessSpec, VideoTextEncoder
+from fitclip_tpu.models.clip.model import CLIPConfig, CLIPModel
+from fitclip_tpu.models.clip.tokenizer import ClipTokenizer
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
+    norm = jnp.linalg.norm(x.astype(jnp.float32), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) / jnp.maximum(norm, eps if eps else 1e-30)).astype(x.dtype)
+
+
+class ClipVideoTextEncoder(VideoTextEncoder):
+    def __init__(self, config: Optional[CLIPConfig] = None, num_frames: int = 4,
+                 dtype=jnp.float32, remat: bool = False,
+                 tokenizer: Optional[ClipTokenizer] = None,
+                 bpe_path: Optional[str] = None) -> None:
+        self.config = config or CLIPConfig.vit_b_16()
+        self.model = CLIPModel(self.config, dtype=dtype, remat=remat)
+        self.num_frames = num_frames
+        self._tokenizer = tokenizer
+        self._bpe_path = bpe_path
+        self.preprocess = PreprocessSpec(
+            num_frames=num_frames,
+            image_size=self.config.vision.image_size,
+            mean=CLIP_MEAN,
+            std=CLIP_STD,
+            train_frame_sampler=RandomFromUniformIntervalsFrameSampler(num_frames),
+            eval_frame_sampler=UniformFrameSampler(num_frames),
+            max_tokens=self.config.text.context_length,
+        )
+
+    def init_params(self, rng):
+        cfg = self.config
+        dummy_image = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
+        dummy_ids = jnp.zeros((1, cfg.text.context_length), jnp.int32)
+        return self.model.init(rng, dummy_image, dummy_ids)["params"]
+
+    def encode_video(self, params, video: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, H, W, C) -> (B, D): frames fold into the batch so the whole
+        clip batch rides one big MXU matmul chain, then normalized frame
+        embeddings are mean-pooled (clip_video_text_encoder.py:80-89)."""
+        b, t = video.shape[0], video.shape[1]
+        frames = video.reshape(b * t, *video.shape[2:])
+        embeddings = self.model.apply({"params": params}, frames,
+                                      method=CLIPModel.encode_image)
+        embeddings = l2_normalize(embeddings)
+        return embeddings.reshape(b, t, -1).mean(axis=1)
+
+    def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
+        embeddings = self.model.apply({"params": params}, text,
+                                      method=CLIPModel.encode_text)
+        return l2_normalize(embeddings)
+
+    def get_tokenizer(self) -> Callable[[Sequence[str]], np.ndarray]:
+        if self._tokenizer is None:
+            self._tokenizer = ClipTokenizer(
+                bpe_path=self._bpe_path,
+                context_length=self.config.text.context_length)
+        return self._tokenizer
+
+    def decode_text(self, ids) -> Iterator[str]:
+        tokenizer = self.get_tokenizer()
+        for row in np.asarray(ids):
+            yield tokenizer.decode(row[row != 0])
