@@ -1,0 +1,147 @@
+"""Command runners: the device-loop side of each CLI command.
+
+Each runner owns one jitted step + a host loop over a data loader, with
+batches padded to mesh divisibility and sharded on the leading axis over
+"data". Metrics come back as plain dicts, suffixed per dataset for grouped
+eval (text_video_retrieval.py:30-37 naming: r1_{dataset} etc.).
+"""
+
+import logging
+from typing import Any, Dict, List, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitclip_tpu.evaluation.classification import (ClassificationEvaluator,
+                                                   encode_label_bank,
+                                                   tokenize_label_bank)
+from fitclip_tpu.evaluation.retrieval import RetrievalEvaluator
+from fitclip_tpu.models.clip.load import LoadedEncoder
+from fitclip_tpu.parallel import create_mesh, replicated, sharded_along
+from fitclip_tpu.parallel.mesh import pad_batch_to_divisible
+
+LOGGER = logging.getLogger(__name__)
+
+DEVICE_KEY_PREFIXES = ("video", "text", "label")
+
+
+def split_device_batch(batch: Mapping[str, Any]):
+    """Separate array keys bound for the device from host-side metadata."""
+    device = {k: v for k, v in batch.items()
+              if k.split("_")[0] in ("video", "text", "label") and
+              isinstance(v, np.ndarray)}
+    host = {k: v for k, v in batch.items() if k not in device}
+    return device, host
+
+
+def shard_eval_batch(device_batch, mesh):
+    num = mesh.devices.size
+    padded, valid = pad_batch_to_divisible(device_batch, num)
+    sharding = sharded_along(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), padded), valid
+
+
+def _loaders_with_names(data_module) -> List:
+    loaders = data_module.val_dataloader()
+    if isinstance(loaders, list):
+        names = getattr(data_module, "names", [str(i) for i in range(len(loaders))])
+        return list(zip(names, loaders))
+    return [(None, loaders)]
+
+
+def run_retrieval_eval(loaded: LoadedEncoder, data_module,
+                       mesh=None) -> Dict[str, float]:
+    """Zero-shot text->video retrieval (command=evaluate/validate)."""
+    mesh = mesh or create_mesh()
+    encoder = loaded.encoder
+    params = jax.device_put(loaded.params, replicated(mesh))
+
+    @jax.jit
+    def eval_step(params, video, text):
+        v = encoder.encode_video(params, video).astype(jnp.float32)
+        t = encoder.encode_text(params, text).astype(jnp.float32)
+        return v, t
+
+    results: Dict[str, float] = {}
+    for name, loader in _loaders_with_names(data_module):
+        evaluator = RetrievalEvaluator()
+        for batch in loader:
+            device_batch, _ = split_device_batch(batch)
+            sharded, valid = shard_eval_batch(device_batch, mesh)
+            v, t = eval_step(params, sharded["video"], sharded["text"])
+            evaluator.update(v, t, valid=valid)
+        metrics = evaluator.compute()
+        suffix = f"_{name}" if name else ""
+        results.update({f"{key}{suffix}": value for key, value in metrics.items()})
+    return results
+
+
+def run_classification_eval(loaded: LoadedEncoder, data_module,
+                            mesh=None, per_class: bool = False) -> Dict[str, float]:
+    """Zero-shot classification (video_text_classification.py semantics)."""
+    mesh = mesh or create_mesh()
+    encoder = loaded.encoder
+    params = jax.device_put(loaded.params, replicated(mesh))
+
+    categories = data_module.categories
+    labels = [name for name, _ in sorted(categories.items(), key=lambda kv: kv[1])]
+    templates = data_module.templates
+    tokenized = tokenize_label_bank(encoder, labels, templates)
+    label_bank = encode_label_bank(encoder, params, tokenized, num_labels=len(labels))
+
+    @jax.jit
+    def encode_video(params, video):
+        return encoder.encode_video(params, video).astype(jnp.float32)
+
+    evaluator = ClassificationEvaluator(label_bank=label_bank, per_class=per_class)
+    for batch in data_module.val_dataloader():
+        device_batch, _ = split_device_batch(batch)
+        sharded, valid = shard_eval_batch(device_batch, mesh)
+        v = encode_video(params, sharded["video"])
+        evaluator.update(v, np.asarray(sharded["label"]), valid=valid)
+    return evaluator.compute()
+
+
+def run_predict(loaded: LoadedEncoder, data_module, mesh=None,
+                output_path: str = "predictions.pt") -> Dict[str, Any]:
+    """command=predict: dump embeddings + video ids (reference saves
+    predictions.pt via torch.save, __main__.py:80-91)."""
+    mesh = mesh or create_mesh()
+    encoder = loaded.encoder
+    params = jax.device_put(loaded.params, replicated(mesh))
+
+    @jax.jit
+    def eval_step(params, video, text):
+        return (encoder.encode_video(params, video).astype(jnp.float32),
+                encoder.encode_text(params, text).astype(jnp.float32))
+
+    encoded_videos, encoded_texts, video_ids = [], [], []
+    loaders = data_module.predict_dataloader()
+    if not isinstance(loaders, list):
+        loaders = [loaders]
+    for loader in loaders:
+        for batch in loader:
+            device_batch, host = split_device_batch(batch)
+            sharded, valid = shard_eval_batch(device_batch, mesh)
+            v, t = eval_step(params, sharded["video"], sharded["text"])
+            encoded_videos.append(np.asarray(v)[:valid])
+            encoded_texts.append(np.asarray(t)[:valid])
+            video_ids.extend(host.get("video_id", []))
+
+    predictions = {
+        "encoded_videos": np.concatenate(encoded_videos),
+        "encoded_texts": np.concatenate(encoded_texts),
+        "video_ids": video_ids,
+    }
+    if output_path:
+        try:
+            import torch
+
+            torch.save({k: torch.from_numpy(v) if isinstance(v, np.ndarray) else v
+                        for k, v in predictions.items()}, output_path)
+        except ImportError:
+            np.savez(output_path.replace(".pt", ".npz"), **{
+                k: v for k, v in predictions.items() if isinstance(v, np.ndarray)})
+        LOGGER.info("Saved predictions to %s", output_path)
+    return predictions

@@ -1,0 +1,148 @@
+"""command=train: contrastive fine-tuning or teacher-student distillation.
+
+Wires config -> optimizer/state/steps/trainer. The encoder slot decides the
+mode: a single encoder trains contrastively (VideoTextLightningModule
+semantics); a {"student", "teacher"} map runs the FitCLIP distillation
+(teacher_student.py semantics) over mixed structured batches.
+"""
+
+import logging
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import numpy as np
+
+from fitclip_tpu.cli.runners import run_retrieval_eval, shard_eval_batch, split_device_batch
+from fitclip_tpu.models.clip.load import LoadedEncoder
+from fitclip_tpu.parallel import create_mesh, replicated, sharded_along
+from fitclip_tpu.training.state import init_train_state, make_optimizer
+from fitclip_tpu.training.steps import (make_contrastive_train_step,
+                                        make_teacher_student_train_step)
+from fitclip_tpu.training.trainer import (CheckpointConfig, EarlyStoppingConfig,
+                                          Trainer, TrainerConfig)
+from fitclip_tpu.utils.logging import MetricsLogger
+
+LOGGER = logging.getLogger(__name__)
+
+
+def _trainer_config(trainer_cfg: Mapping[str, Any],
+                    callbacks_cfg: Optional[Mapping[str, Any]]) -> TrainerConfig:
+    callbacks_cfg = callbacks_cfg or {}
+    early = None
+    if "early_stopping" in callbacks_cfg:
+        early = EarlyStoppingConfig(**callbacks_cfg["early_stopping"])
+    ckpt = None
+    if "checkpoint" in callbacks_cfg:
+        ckpt = CheckpointConfig(**callbacks_cfg["checkpoint"])
+    return TrainerConfig(
+        max_epochs=int(trainer_cfg.get("max_epochs", 1)),
+        val_check_interval=float(trainer_cfg.get("val_check_interval", 1.0)),
+        log_every_n_steps=int(trainer_cfg.get("log_every_n_steps", 10)),
+        max_steps=trainer_cfg.get("max_steps"),
+        early_stopping=early,
+        checkpoint=ckpt,
+    )
+
+
+def _make_batch_preparer(mesh):
+    sharding = sharded_along(mesh)
+
+    def prepare(batch):
+        def convert(node):
+            if isinstance(node, Mapping):
+                return {k: convert(v) for k, v in node.items()
+                        if isinstance(v, (Mapping, np.ndarray))}
+            return jax.device_put(node, sharding)
+        return convert(batch)
+
+    return prepare
+
+
+def _load_prompts(prompts_path: Optional[str], student: LoadedEncoder,
+                  teacher: LoadedEncoder):
+    if not prompts_path:
+        return None, None
+    with open(prompts_path) as file:
+        prompts = [line.strip() for line in file if line.strip()]
+    return (np.asarray(student.get_tokenizer()(prompts)),
+            np.asarray(teacher.get_tokenizer()(prompts)))
+
+
+def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
+              trainer_cfg: Mapping[str, Any],
+              optimizer_cfg: Mapping[str, Any],
+              callbacks_cfg: Optional[Mapping[str, Any]] = None,
+              prompts_path: Optional[str] = None,
+              mesh=None, log_dir: Optional[str] = None) -> Dict[str, Any]:
+    mesh = mesh or create_mesh()
+    is_teacher_student = isinstance(encoder_slot, Mapping)
+
+    init_temperature = float(model_cfg.get("init_temperature", 0.05))
+    min_temperature = float(model_cfg.get("min_temperature", 0.001))
+    fit_temperature = bool(model_cfg.get("fit_temperature", True))
+
+    if is_teacher_student:
+        student, teacher = encoder_slot["student"], encoder_slot["teacher"]
+    else:
+        student, teacher = encoder_slot, None
+
+    params_template = {"encoder": student.params,
+                       "logit_scale": np.zeros((1,), np.float32)}
+    if is_teacher_student:
+        params_template["ts_logit_scale"] = np.zeros((1,), np.float32)
+
+    optimizer = make_optimizer(
+        learning_rate=float(optimizer_cfg.get("lr", 3e-6)),
+        weight_decay=float(optimizer_cfg.get("weight_decay", 0.01)),
+        eps=float(optimizer_cfg.get("eps", 1e-8)),
+        betas=tuple(optimizer_cfg.get("betas", (0.9, 0.999))),
+        freeze_patterns=callbacks_cfg.get("param_freeze_patterns")
+        if callbacks_cfg else None,
+        fit_temperature=fit_temperature,
+        gradient_clip_val=trainer_cfg.get("gradient_clip_val"),
+        params_example=params_template,
+    )
+    state = init_train_state(student.params, optimizer,
+                             init_temperature=init_temperature,
+                             min_temperature=min_temperature,
+                             with_teacher_student_scale=is_teacher_student)
+    state = jax.device_put(state, replicated(mesh))
+
+    teacher_params = None
+    if is_teacher_student:
+        teacher_params = jax.device_put(teacher.params, replicated(mesh))
+        student_prompts, teacher_prompts = _load_prompts(prompts_path, student, teacher)
+        step = make_teacher_student_train_step(
+            student.encoder, teacher.encoder, optimizer,
+            labeled_loss_share=float(model_cfg.get("labeled_dataset_loss_share", 0.5)),
+            student_prompt_ids=student_prompts,
+            teacher_prompt_ids=teacher_prompts)
+    else:
+        step = make_contrastive_train_step(student.encoder, optimizer)
+
+    def validate(current_state) -> Dict[str, float]:
+        eval_encoder = LoadedEncoder(encoder=student.encoder,
+                                     params=current_state.params["encoder"])
+        try:
+            metrics = run_retrieval_eval(eval_encoder, data_module, mesh=mesh)
+        except NotImplementedError:
+            return {}
+        # Alias retrieval loss-style monitors for callbacks expecting loss/val.
+        return metrics
+
+    trainer = Trainer(_trainer_config(trainer_cfg, callbacks_cfg),
+                      logger=MetricsLogger(log_dir=log_dir),
+                      prepare_batch=_make_batch_preparer(mesh))
+    final_state = trainer.fit(state, step, data_module.train_dataloader(),
+                              validate=validate if _has_val(data_module) else None,
+                              teacher_params=teacher_params)
+    return {"state": final_state,
+            "metrics": getattr(trainer, "_last_val_metrics", {})}
+
+
+def _has_val(data_module) -> bool:
+    try:
+        data_module.val_dataloader()
+        return True
+    except (NotImplementedError, Exception):
+        return False

@@ -143,13 +143,22 @@ class _Composer:
                 if optional:
                     continue
                 raise
-            target_key = package if package is not None else group.split("/")[-1] \
-                if "/" in group else group
             if package == "_global_":
                 _deep_merge(result, content)
             else:
-                _deep_merge(result, {k_: content for k_ in [target_key]}
-                            if target_key else content)
+                if package is not None:
+                    target_path = package
+                else:
+                    # Hydra default package: the group path with / -> .
+                    target_path = group.replace("/", ".")
+                    if target_path in (".", ""):
+                        target_path = None
+                if target_path:
+                    wrapper: Dict[str, Any] = {}
+                    _set_path(wrapper, target_path, content, create=True)
+                    _deep_merge(result, wrapper)
+                else:
+                    _deep_merge(result, content)
         if not merged_self:
             _deep_merge(result, node)
         return result

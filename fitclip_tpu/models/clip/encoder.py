@@ -58,7 +58,16 @@ class ClipVideoTextEncoder(VideoTextEncoder):
     def encode_video(self, params, video: jnp.ndarray) -> jnp.ndarray:
         """(B, T, H, W, C) -> (B, D): frames fold into the batch so the whole
         clip batch rides one big MXU matmul chain, then normalized frame
-        embeddings are mean-pooled (clip_video_text_encoder.py:80-89)."""
+        embeddings are mean-pooled (clip_video_text_encoder.py:80-89).
+
+        uint8 input is normalized on device ((x/255 - mean)/std) — the host
+        pipeline ships raw pixels; XLA fuses the normalization into the patch
+        embedding's input. Float input is assumed already normalized."""
+        if video.dtype == jnp.uint8:
+            dtype = self.model.dtype
+            mean = jnp.asarray(self.preprocess.mean, dtype) * 255.0
+            inv_std = 1.0 / (jnp.asarray(self.preprocess.std, dtype) * 255.0)
+            video = (video.astype(dtype) - mean) * inv_std
         b, t = video.shape[0], video.shape[1]
         frames = video.reshape(b * t, *video.shape[2:])
         embeddings = self.model.apply({"params": params}, frames,

@@ -40,7 +40,7 @@ def test_group_selection_and_defaults(config_dir):
     assert cfg["command"] == "evaluate"
     assert cfg["encoder"]["name"] == "ViT-B/16"
     assert cfg["data"]["name"] == "msrvtt"
-    assert cfg["callbacks"]["early_stopping"]["patience"] == 3
+    assert cfg["trainer"]["callbacks"]["early_stopping"]["patience"] == 3
     assert cfg["model"]["init_temperature"] == 0.015
 
 
