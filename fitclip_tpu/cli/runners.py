@@ -69,7 +69,12 @@ def run_retrieval_eval(loaded: LoadedEncoder, data_module,
         for batch in loader:
             device_batch, _ = split_device_batch(batch)
             sharded, valid = shard_eval_batch(device_batch, mesh)
-            v, t = eval_step(params, sharded["video"], sharded["text"])
+            # Dual-preprocessed (teacher-student) batches: evaluate the
+            # student view (reference validates on the student tower,
+            # teacher_student.py:142-173).
+            video = sharded.get("video", sharded.get("video_student"))
+            text = sharded.get("text", sharded.get("text_student"))
+            v, t = eval_step(params, video, text)
             evaluator.update(v, t, valid=valid)
         metrics = evaluator.compute()
         suffix = f"_{name}" if name else ""

@@ -47,12 +47,18 @@ def _trainer_config(trainer_cfg: Mapping[str, Any],
 def _make_batch_preparer(mesh):
     sharding = sharded_along(mesh)
 
+    replicated_sharding = replicated(mesh)
+    num_devices = mesh.devices.size
+
     def prepare(batch):
         def convert(node):
             if isinstance(node, Mapping):
                 return {k: convert(v) for k, v in node.items()
                         if isinstance(v, (Mapping, np.ndarray))}
-            return jax.device_put(node, sharding)
+            # Batches smaller than the mesh (tiny test configs) replicate
+            # instead of shard; production batch sizes are mesh-divisible.
+            target = sharding if node.shape[0] % num_devices == 0 else replicated_sharding
+            return jax.device_put(node, target)
         return convert(batch)
 
     return prepare

@@ -20,7 +20,8 @@ def _write_video(path, num_frames=12, size=(48, 40)):
     import cv2
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"), 8.0, size)
+    fourcc = "mp4v" if str(path).endswith(".mp4") else "MJPG"
+    writer = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*fourcc), 8.0, size)
     assert writer.isOpened()
     for i in range(num_frames):
         writer.write(np.full((size[1], size[0], 3), (i * 20) % 255, np.uint8))
