@@ -79,7 +79,7 @@ def test_wise_encoder_cli(webvid_env, tiny_encoder_cfg, capsys):
     cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
                   ["command=evaluate", "encoder=wise", "data=webvid",
                    "data.eval_batch_size=4", "+data.num_threads=1",
-                   "++encoder.model1.placeholder=1", "++encoder.model2.placeholder=1"])
+                   "++encoder.model1={}", "++encoder.model2={}"])
     cfg["encoder"]["model1"] = dict(tiny_encoder_cfg, seed=0)
     cfg["encoder"]["model2"] = dict(tiny_encoder_cfg, seed=1)
     run(cfg)
