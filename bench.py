@@ -28,7 +28,7 @@ def main() -> None:
     from fitclip_tpu.utils.benchmarking import sustained_seconds_per_step
 
     encoder = ClipVideoTextEncoder(CLIPConfig.vit_b_16(), num_frames=4,
-                                   dtype=jnp.bfloat16)
+                                   dtype=jnp.bfloat16, fused_attention=True)
     params = encoder.init_params(jax.random.PRNGKey(0))
     params = jax.device_put(fold_pixel_normalization(
         params, encoder.preprocess.mean, encoder.preprocess.std))
@@ -50,7 +50,10 @@ def main() -> None:
             return carry + (jnp.abs(emb).sum() > 0).astype(jnp.int32)
         return jax.lax.fori_loop(0, steps, body, jnp.int32(0))
 
-    seconds = sustained_seconds_per_step(lambda s: chain(params, video, s))
+    # Dynamic trip count -> ONE compile for both step counts (remote Pallas
+    # compiles are minutes each).
+    seconds = sustained_seconds_per_step(
+        lambda s: chain(params, video, jnp.int32(s)))
     clips_per_sec = batch_clips / seconds
     baseline = 5000.0
     print(json.dumps({

@@ -32,10 +32,12 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarra
 class ClipVideoTextEncoder(VideoTextEncoder):
     def __init__(self, config: Optional[CLIPConfig] = None, num_frames: int = 4,
                  dtype=jnp.float32, remat: bool = False,
+                 fused_attention: bool = False,
                  tokenizer: Optional[ClipTokenizer] = None,
                  bpe_path: Optional[str] = None) -> None:
         self.config = config or CLIPConfig.vit_b_16()
-        self.model = CLIPModel(self.config, dtype=dtype, remat=remat)
+        self.model = CLIPModel(self.config, dtype=dtype, remat=remat,
+                               fused_attention=fused_attention)
         self.num_frames = num_frames
         self._tokenizer = tokenizer
         self._bpe_path = bpe_path

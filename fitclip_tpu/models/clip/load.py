@@ -57,6 +57,7 @@ def load_clip_encoder(name: str = "ViT-B/16",
                       num_frames: int = 4,
                       dtype: str = "float32",
                       remat: bool = False,
+                      fused_attention: bool = False,
                       bpe_path: Optional[str] = None,
                       seed: int = 0,
                       strip_prefix: Optional[str] = None) -> LoadedEncoder:
@@ -79,6 +80,7 @@ def load_clip_encoder(name: str = "ViT-B/16",
 
     encoder = ClipVideoTextEncoder(config, num_frames=num_frames,
                                    dtype=_DTYPES[str(dtype)], remat=remat,
+                                   fused_attention=fused_attention,
                                    bpe_path=bpe_path)
     if state_dict is not None:
         params = clip_params_from_torch(state_dict, config)

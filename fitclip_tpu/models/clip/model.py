@@ -108,11 +108,14 @@ class LayerNormFp32(nn.Module):
 
 class MultiHeadAttention(nn.Module):
     """Self-attention with a fused QKV projection (matches OpenAI's in_proj
-    layout so converted weights drop in as one matmul)."""
+    layout so converted weights drop in as one matmul). With ``fused=True``
+    the QK^T/softmax/AV core runs as a single Pallas kernel (logits stay in
+    VMEM instead of round-tripping fp32 through HBM)."""
     width: int
     heads: int
     causal: bool
     dtype: Dtype
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -125,15 +128,20 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(*t.shape[:-1], self.heads, head_dim)
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        # fp32 logits + softmax for numeric stability under bf16 compute.
-        logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
-                            preferred_element_type=jnp.float32, precision=PRECISION)
-        logits = logits * (head_dim ** -0.5)
-        if self.causal:
-            mask = jnp.tril(jnp.ones((seq, seq), dtype=bool))
-            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("...hqk,...khd->...qhd", weights, v, precision=PRECISION)
+        if self.fused:
+            from fitclip_tpu.ops.attention import fused_attention
+
+            out = fused_attention(q, k, v, causal=self.causal)
+        else:
+            # fp32 logits + softmax for numeric stability under bf16 compute.
+            logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                                preferred_element_type=jnp.float32, precision=PRECISION)
+            logits = logits * (head_dim ** -0.5)
+            if self.causal:
+                mask = jnp.tril(jnp.ones((seq, seq), dtype=bool))
+                logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("...hqk,...khd->...qhd", weights, v, precision=PRECISION)
         out = out.reshape(*out.shape[:-2], self.width)
         return nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="out_proj")(out)
 
@@ -144,10 +152,12 @@ class ResidualBlock(nn.Module):
     causal: bool
     quick_gelu: bool
     dtype: Dtype
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
-        x = x + MultiHeadAttention(self.width, self.heads, self.causal, self.dtype, name="attn")(
+        x = x + MultiHeadAttention(self.width, self.heads, self.causal, self.dtype,
+                                   self.fused_attention, name="attn")(
             LayerNormFp32(self.dtype, name="ln_1")(x))
         h = LayerNormFp32(self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="mlp_fc")(h)
@@ -165,6 +175,7 @@ class Transformer(nn.Module):
     quick_gelu: bool
     dtype: Dtype
     remat: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -177,7 +188,8 @@ class Transformer(nn.Module):
             split_rngs={"params": True},
             length=self.layers,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
-        )(self.width, self.heads, self.causal, self.quick_gelu, self.dtype, name="blocks")
+        )(self.width, self.heads, self.causal, self.quick_gelu, self.dtype,
+          self.fused_attention, name="blocks")
         x, _ = scanned(x, None)
         return x
 
@@ -188,6 +200,7 @@ class VisionTransformer(nn.Module):
     quick_gelu: bool
     dtype: Dtype
     remat: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -214,7 +227,7 @@ class VisionTransformer(nn.Module):
         x = LayerNormFp32(self.dtype, name="ln_pre")(x)
         x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=False,
                         quick_gelu=self.quick_gelu, dtype=self.dtype, remat=self.remat,
-                        name="transformer")(x)
+                        fused_attention=self.fused_attention, name="transformer")(x)
         x = LayerNormFp32(self.dtype, name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(cfg.width ** -0.5),
                           (cfg.width, self.embed_dim), jnp.float32)
@@ -227,6 +240,7 @@ class TextTransformer(nn.Module):
     quick_gelu: bool
     dtype: Dtype
     remat: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -241,7 +255,7 @@ class TextTransformer(nn.Module):
         x = x + pos[: x.shape[1]].astype(self.dtype)
         x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=True,
                         quick_gelu=self.quick_gelu, dtype=self.dtype, remat=self.remat,
-                        name="transformer")(x)
+                        fused_attention=self.fused_attention, name="transformer")(x)
         x = LayerNormFp32(self.dtype, name="ln_final")(x)
         eot = jnp.argmax(input_ids, axis=-1)
         x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
@@ -254,12 +268,15 @@ class CLIPModel(nn.Module):
     config: CLIPConfig
     dtype: Dtype = jnp.float32
     remat: bool = False
+    fused_attention: bool = False
 
     def setup(self):
         self.visual = VisionTransformer(self.config.vision, self.config.embed_dim,
-                                        self.config.quick_gelu, self.dtype, self.remat)
+                                        self.config.quick_gelu, self.dtype, self.remat,
+                                        self.fused_attention)
         self.text = TextTransformer(self.config.text, self.config.embed_dim,
-                                    self.config.quick_gelu, self.dtype, self.remat)
+                                    self.config.quick_gelu, self.dtype, self.remat,
+                                    self.fused_attention)
 
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.visual(images)
