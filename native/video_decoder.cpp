@@ -1,0 +1,261 @@
+// FFmpeg-backed indexed video decoder for the fitclip_tpu input pipeline.
+//
+// The TPU-native equivalent of the reference's decord dependency
+// (aligner/data/video_reader.py:42-85 + SURVEY §2.9): open -> build a frame
+// index (pts per frame, keyframe flags) -> decode arbitrary frame indices as
+// RGB24 (optionally swscale-resized while decoding) -> expose frame-midpoint
+// timestamps for time->index seeks. Exposed as a C ABI for ctypes.
+//
+// Build: see native/Makefile (links libavformat/libavcodec/libavutil/libswscale).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+struct FrameIndex {
+  std::vector<int64_t> pts;       // sorted presentation timestamps
+  std::vector<uint8_t> keyframe;  // parallel to pts
+};
+
+struct Decoder {
+  AVFormatContext* format_ctx = nullptr;
+  AVCodecContext* codec_ctx = nullptr;
+  int stream_index = -1;
+  FrameIndex index;
+  double time_base = 0.0;   // seconds per pts unit
+  double avg_fps = 0.0;
+  int width = 0;
+  int height = 0;
+  // Decode cursor: position of the next frame the decoder will output,
+  // as an index into index.pts; -1 = unknown (must seek).
+  int64_t next_frame = -1;
+};
+
+bool build_index(Decoder* d) {
+  // One demux pass (no decode) collecting pts + keyframe flags, like decord.
+  AVPacket* pkt = av_packet_alloc();
+  std::vector<std::pair<int64_t, uint8_t>> entries;
+  while (av_read_frame(d->format_ctx, pkt) >= 0) {
+    if (pkt->stream_index == d->stream_index) {
+      int64_t ts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+      entries.emplace_back(ts, (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0);
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  if (entries.empty()) return false;
+  std::sort(entries.begin(), entries.end());
+  d->index.pts.reserve(entries.size());
+  d->index.keyframe.reserve(entries.size());
+  for (auto& e : entries) {
+    d->index.pts.push_back(e.first);
+    d->index.keyframe.push_back(e.second);
+  }
+  // Rewind for decoding.
+  av_seek_frame(d->format_ctx, d->stream_index, d->index.pts.front(),
+                AVSEEK_FLAG_BACKWARD);
+  avcodec_flush_buffers(d->codec_ctx);
+  d->next_frame = 0;
+  return true;
+}
+
+int frame_position(const Decoder* d, int64_t pts) {
+  auto it = std::lower_bound(d->index.pts.begin(), d->index.pts.end(), pts);
+  if (it == d->index.pts.end()) return static_cast<int>(d->index.pts.size()) - 1;
+  return static_cast<int>(it - d->index.pts.begin());
+}
+
+int prev_keyframe(const Decoder* d, int frame) {
+  for (int i = frame; i >= 0; --i)
+    if (d->index.keyframe[i]) return i;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* vd_open(const char* path) {
+  auto* d = new Decoder();
+  if (avformat_open_input(&d->format_ctx, path, nullptr, nullptr) < 0) {
+    delete d;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->format_ctx, nullptr) < 0) {
+    avformat_close_input(&d->format_ctx);
+    delete d;
+    return nullptr;
+  }
+  const AVCodec* codec = nullptr;
+  d->stream_index = av_find_best_stream(d->format_ctx, AVMEDIA_TYPE_VIDEO, -1,
+                                        -1, &codec, 0);
+  if (d->stream_index < 0 || !codec) {
+    avformat_close_input(&d->format_ctx);
+    delete d;
+    return nullptr;
+  }
+  AVStream* stream = d->format_ctx->streams[d->stream_index];
+  d->codec_ctx = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(d->codec_ctx, stream->codecpar);
+  d->codec_ctx->thread_count = 1;  // one worker thread per reader (decord parity)
+  if (avcodec_open2(d->codec_ctx, codec, nullptr) < 0) {
+    avcodec_free_context(&d->codec_ctx);
+    avformat_close_input(&d->format_ctx);
+    delete d;
+    return nullptr;
+  }
+  d->time_base = av_q2d(stream->time_base);
+  d->avg_fps = stream->avg_frame_rate.den
+                   ? av_q2d(stream->avg_frame_rate)
+                   : 0.0;
+  d->width = d->codec_ctx->width;
+  d->height = d->codec_ctx->height;
+  if (!build_index(d)) {
+    avcodec_free_context(&d->codec_ctx);
+    avformat_close_input(&d->format_ctx);
+    delete d;
+    return nullptr;
+  }
+  if (d->avg_fps <= 0.0 && d->index.pts.size() > 1) {
+    double duration = (d->index.pts.back() - d->index.pts.front()) * d->time_base;
+    if (duration > 0) d->avg_fps = (d->index.pts.size() - 1) / duration;
+  }
+  return d;
+}
+
+int vd_num_frames(void* handle) {
+  return static_cast<int>(static_cast<Decoder*>(handle)->index.pts.size());
+}
+
+double vd_avg_fps(void* handle) {
+  return static_cast<Decoder*>(handle)->avg_fps;
+}
+
+void vd_frame_size(void* handle, int* height, int* width) {
+  auto* d = static_cast<Decoder*>(handle);
+  *height = d->height;
+  *width = d->width;
+}
+
+// Frame midpoint timestamps in seconds (decord get_frame_timestamp mean
+// semantics for constant-rate streams).
+void vd_timestamps(void* handle, double* out) {
+  auto* d = static_cast<Decoder*>(handle);
+  size_t n = d->index.pts.size();
+  double half_frame = d->avg_fps > 0 ? 0.5 / d->avg_fps : 0.0;
+  int64_t start = d->index.pts.front();
+  for (size_t i = 0; i < n; ++i)
+    out[i] = (d->index.pts[i] - start) * d->time_base + half_frame;
+}
+
+// Decode `n` frame indices into `out` (n * out_h * out_w * 3, RGB24).
+// out_h/out_w of 0 mean native size. Returns 0 on success.
+int vd_get_frames(void* handle, const int64_t* indices, int n,
+                  uint8_t* out, int out_h, int out_w) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (out_h <= 0) out_h = d->height;
+  if (out_w <= 0) out_w = d->width;
+  const size_t frame_bytes = static_cast<size_t>(out_h) * out_w * 3;
+
+  // Decode each unique frame once.
+  std::vector<int> unique;
+  for (int i = 0; i < n; ++i) {
+    int idx = static_cast<int>(indices[i]);
+    if (idx < 0 || idx >= vd_num_frames(handle)) return -1;
+    unique.push_back(idx);
+  }
+  std::sort(unique.begin(), unique.end());
+  unique.erase(std::unique(unique.begin(), unique.end()), unique.end());
+
+  std::map<int, std::vector<uint8_t>> decoded;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  SwsContext* sws = nullptr;
+  int ret_code = 0;
+
+  for (int target : unique) {
+    // Seek only when behind us or far ahead (>256 frames past a keyframe gap).
+    if (d->next_frame < 0 || target < d->next_frame ||
+        target - d->next_frame > 256) {
+      int key = prev_keyframe(d, target);
+      av_seek_frame(d->format_ctx, d->stream_index, d->index.pts[key],
+                    AVSEEK_FLAG_BACKWARD);
+      avcodec_flush_buffers(d->codec_ctx);
+      d->next_frame = -2;  // unknown until the first decoded frame tells us
+    }
+    bool done = false;
+    while (!done) {
+      int read = av_read_frame(d->format_ctx, pkt);
+      if (read < 0) {
+        // Flush.
+        avcodec_send_packet(d->codec_ctx, nullptr);
+      } else if (pkt->stream_index != d->stream_index) {
+        av_packet_unref(pkt);
+        continue;
+      } else {
+        avcodec_send_packet(d->codec_ctx, pkt);
+        av_packet_unref(pkt);
+      }
+      while (true) {
+        int recv = avcodec_receive_frame(d->codec_ctx, frame);
+        if (recv == AVERROR(EAGAIN)) break;
+        if (recv < 0) { done = true; ret_code = read < 0 ? -2 : ret_code; break; }
+        int64_t pts = frame->best_effort_timestamp != AV_NOPTS_VALUE
+                          ? frame->best_effort_timestamp
+                          : frame->pts;
+        int pos = frame_position(d, pts);
+        d->next_frame = pos + 1;
+        if (pos == target) {
+          sws = sws_getCachedContext(sws, frame->width, frame->height,
+                                     static_cast<AVPixelFormat>(frame->format),
+                                     out_w, out_h, AV_PIX_FMT_RGB24,
+                                     SWS_BICUBIC, nullptr, nullptr, nullptr);
+          std::vector<uint8_t> rgb(frame_bytes);
+          uint8_t* dst_data[4] = {rgb.data(), nullptr, nullptr, nullptr};
+          int dst_linesize[4] = {out_w * 3, 0, 0, 0};
+          sws_scale(sws, frame->data, frame->linesize, 0, frame->height,
+                    dst_data, dst_linesize);
+          decoded[target] = std::move(rgb);
+          av_frame_unref(frame);
+          done = true;
+          break;
+        }
+        av_frame_unref(frame);
+      }
+      if (read < 0 && !done) { done = true; ret_code = -2; }
+    }
+    if (decoded.find(target) == decoded.end()) { ret_code = -2; break; }
+  }
+
+  if (sws) sws_freeContext(sws);
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+
+  if (ret_code != 0) return ret_code;
+  for (int i = 0; i < n; ++i) {
+    auto& rgb = decoded[static_cast<int>(indices[i])];
+    std::memcpy(out + static_cast<size_t>(i) * frame_bytes, rgb.data(),
+                frame_bytes);
+  }
+  return 0;
+}
+
+void vd_close(void* handle) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (d->codec_ctx) avcodec_free_context(&d->codec_ctx);
+  if (d->format_ctx) avformat_close_input(&d->format_ctx);
+  delete d;
+}
+
+}  // extern "C"

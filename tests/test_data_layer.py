@@ -37,8 +37,8 @@ def _frame_levels(frames):
 
 
 def test_reader_len_fps_and_indexing(video_path):
-    reader = VideoReader.from_path(video_path)
-    assert isinstance(reader, OpenCVVideoReader)
+    reader = OpenCVVideoReader(video_path)
+    assert isinstance(VideoReader.from_path(video_path), VideoReader)
     assert len(reader) == NUM_FRAMES
     assert reader.get_avg_fps() == pytest.approx(FPS)
 
