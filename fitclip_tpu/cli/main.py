@@ -197,7 +197,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         cfg = compose(config_dir, config_name, run_overrides)
         if cfg.get("silent"):
             logging.getLogger().setLevel(logging.WARNING)
-        results.append(run(cfg))
+        if cfg.get("hparam_search"):
+            from fitclip_tpu.cli.sweep import run_sweep
+
+            best_value, _ = run_sweep(cfg, run)
+            results.append(best_value)
+        else:
+            results.append(run(cfg))
     if len(results) == 1 and results[0] is not None:
         print(results[0])
 
