@@ -98,10 +98,11 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 class LayerNormFp32(nn.Module):
     """LayerNorm computed in fp32 regardless of activation dtype."""
     dtype: Dtype = jnp.float32
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="ln")(
+        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, param_dtype=jnp.float32, name="ln")(
             x.astype(jnp.float32))
         return y.astype(self.dtype)
 
@@ -153,13 +154,14 @@ class ResidualBlock(nn.Module):
     quick_gelu: bool
     dtype: Dtype
     fused_attention: bool = False
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
         x = x + MultiHeadAttention(self.width, self.heads, self.causal, self.dtype,
                                    self.fused_attention, name="attn")(
-            LayerNormFp32(self.dtype, name="ln_1")(x))
-        h = LayerNormFp32(self.dtype, name="ln_2")(x)
+            LayerNormFp32(self.dtype, self.ln_eps, name="ln_1")(x))
+        h = LayerNormFp32(self.dtype, self.ln_eps, name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="mlp_fc")(h)
         h = quick_gelu(h) if self.quick_gelu else nn.gelu(h, approximate=False)
         h = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="mlp_proj")(h)
@@ -176,6 +178,7 @@ class Transformer(nn.Module):
     dtype: Dtype
     remat: bool = False
     fused_attention: bool = False
+    ln_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -189,7 +192,7 @@ class Transformer(nn.Module):
             length=self.layers,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(self.width, self.heads, self.causal, self.quick_gelu, self.dtype,
-          self.fused_attention, name="blocks")
+          self.fused_attention, self.ln_eps, name="blocks")
         x, _ = scanned(x, None)
         return x
 

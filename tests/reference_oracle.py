@@ -81,6 +81,14 @@ def install_reference():
         sys.modules["torchvision.datasets.folder"] = folder
         sys.modules["torchvision.datasets.video_utils"] = video_utils
 
+    if "ftfy" not in sys.modules:
+        try:
+            import ftfy  # noqa: F401
+        except ImportError:
+            ftfy = types.ModuleType("ftfy")
+            ftfy.fix_text = lambda text: text
+            sys.modules["ftfy"] = ftfy
+
     if "pytorch_lightning" not in sys.modules:
         try:
             import pytorch_lightning  # noqa: F401
