@@ -4,9 +4,18 @@ is shimmed with a no-op decorator. Tests using this must skip gracefully when
 the reference tree is unavailable.
 """
 
+import importlib.machinery
 import os
 import sys
 import types
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    module = types.ModuleType(name)
+    # transformers probes optional deps via importlib.util.find_spec, which
+    # chokes on __spec__ = None.
+    module.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return module
 
 REFERENCE_PATH = "/root/reference"
 
@@ -17,7 +26,7 @@ def reference_available() -> bool:
 
 def install_reference():
     if "overrides" not in sys.modules:
-        shim = types.ModuleType("overrides")
+        shim = _stub_module("overrides")
 
         def overrides(*args, **kwargs):
             if args and callable(args[0]):
@@ -28,7 +37,7 @@ def install_reference():
         sys.modules["overrides"] = shim
 
     if "cached_path" not in sys.modules:
-        cp = types.ModuleType("cached_path")
+        cp = _stub_module("cached_path")
         cp.cached_path = lambda path, *a, **k: path
         cp.CACHE_DIR = "/tmp"
         cp._find_latest_cached = lambda *a, **k: None
@@ -37,12 +46,12 @@ def install_reference():
     try:
         import torchvision  # noqa: F401
     except ImportError:
-        tv = types.ModuleType("torchvision")
-        transforms = types.ModuleType("torchvision.transforms")
-        functional = types.ModuleType("torchvision.transforms.functional")
-        datasets = types.ModuleType("torchvision.datasets")
-        folder = types.ModuleType("torchvision.datasets.folder")
-        video_utils = types.ModuleType("torchvision.datasets.video_utils")
+        tv = _stub_module("torchvision")
+        transforms = _stub_module("torchvision.transforms")
+        functional = _stub_module("torchvision.transforms.functional")
+        datasets = _stub_module("torchvision.datasets")
+        folder = _stub_module("torchvision.datasets.folder")
+        video_utils = _stub_module("torchvision.datasets.video_utils")
 
         class _Unavailable:
             def __init__(self, *a, **k):
@@ -85,7 +94,7 @@ def install_reference():
         try:
             import ftfy  # noqa: F401
         except ImportError:
-            ftfy = types.ModuleType("ftfy")
+            ftfy = _stub_module("ftfy")
             ftfy.fix_text = lambda text: text
             sys.modules["ftfy"] = ftfy
 
@@ -93,9 +102,9 @@ def install_reference():
         try:
             import pytorch_lightning  # noqa: F401
         except ImportError:
-            pl = types.ModuleType("pytorch_lightning")
-            utilities = types.ModuleType("pytorch_lightning.utilities")
-            apply_func = types.ModuleType("pytorch_lightning.utilities.apply_func")
+            pl = _stub_module("pytorch_lightning")
+            utilities = _stub_module("pytorch_lightning.utilities")
+            apply_func = _stub_module("pytorch_lightning.utilities.apply_func")
 
             class _LightningModule:
                 pass

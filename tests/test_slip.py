@@ -12,19 +12,19 @@ import sys
 import numpy as np
 import pytest
 
-from tests.reference_oracle import install_reference, reference_available
+from tests.reference_oracle import _stub_module, install_reference, reference_available
 
 pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="reference tree not mounted")
 
 
 def _install_timm_stub():
-    if "timm" in sys.modules:
-        return
-    timm = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    registry = types.ModuleType("timm.models.registry")
-    vision_transformer = types.ModuleType("timm.models.vision_transformer")
+    # Another test may have stubbed timm already (e.g. timm.models.layers for
+    # the FiT oracle) — extend whatever is there instead of skipping.
+    timm = sys.modules.get("timm") or _stub_module("timm")
+    models = getattr(timm, "models", None) or _stub_module("timm.models")
+    registry = _stub_module("timm.models.registry")
+    vision_transformer = _stub_module("timm.models.vision_transformer")
     registry.register_model = lambda fn: fn
     vision_transformer._create_vision_transformer = None
     models.registry = registry
