@@ -65,18 +65,26 @@ def load_clip_encoder(name: str = "ViT-B/16",
         clip_params_from_torch, config_from_openai_state_dict, detect_schema,
         load_torch_state_dict)
 
+    from fitclip_tpu.models.clip.resnet_clip import RESNET_PRESETS
+
     state_dict = None
     if checkpoint_path:
         state_dict = load_torch_state_dict(checkpoint_path, strip_prefix=strip_prefix)
+        if "visual.attnpool.q_proj.weight" in state_dict or name in RESNET_PRESETS:
+            return _load_resnet_clip(name, state_dict, num_frames=num_frames,
+                                     bpe_path=bpe_path, seed=seed)
         if detect_schema(state_dict) == "openai":
             config = config_from_openai_state_dict(state_dict)
         else:
             config = PRESETS[name]()
+    elif name in RESNET_PRESETS:
+        return _load_resnet_clip(name, None, num_frames=num_frames,
+                                 bpe_path=bpe_path, seed=seed)
     elif name in PRESETS:
         config = PRESETS[name]()
     else:
         raise ValueError(f"Unknown CLIP preset '{name}' and no checkpoint_path given. "
-                         f"Presets: {sorted(PRESETS)}")
+                         f"Presets: {sorted(PRESETS) + sorted(RESNET_PRESETS)}")
 
     encoder = ClipVideoTextEncoder(config, num_frames=num_frames,
                                    dtype=_DTYPES[str(dtype)], remat=remat,
@@ -84,6 +92,21 @@ def load_clip_encoder(name: str = "ViT-B/16",
                                    bpe_path=bpe_path)
     if state_dict is not None:
         params = clip_params_from_torch(state_dict, config)
+    else:
+        LOGGER.warning("No checkpoint_path for CLIP %s: initializing randomly.", name)
+        params = encoder.init_params(jax.random.PRNGKey(seed))
+    return LoadedEncoder(encoder=encoder, params=params)
+
+
+def _load_resnet_clip(name, state_dict, num_frames: int, bpe_path, seed: int) -> LoadedEncoder:
+    from fitclip_tpu.models.clip.resnet_clip import (
+        RESNET_PRESETS, ResNetClipVideoTextEncoder, resnet_clip_params_from_torch)
+
+    config = RESNET_PRESETS[name]
+    encoder = ResNetClipVideoTextEncoder(config, num_frames=num_frames,
+                                         bpe_path=bpe_path)
+    if state_dict is not None:
+        params = resnet_clip_params_from_torch(state_dict, config)
     else:
         LOGGER.warning("No checkpoint_path for CLIP %s: initializing randomly.", name)
         params = encoder.init_params(jax.random.PRNGKey(seed))
