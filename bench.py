@@ -33,7 +33,7 @@ def main() -> None:
     params = jax.device_put(fold_pixel_normalization(
         params, encoder.preprocess.mean, encoder.preprocess.std))
 
-    batch_clips = 128  # 512 frames/step
+    batch_clips = int(__import__("os").environ.get("BENCH_CLIPS", "128"))
 
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.integers(0, 256, size=(batch_clips, 4, 224, 224, 3),

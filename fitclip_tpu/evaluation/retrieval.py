@@ -48,16 +48,18 @@ class RetrievalEvaluator:
         self._texts: List[np.ndarray] = []
 
     def update(self, video_emb, text_emb, valid: Optional[int] = None) -> None:
-        video_emb = np.asarray(video_emb, dtype=np.float32)
-        text_emb = np.asarray(text_emb, dtype=np.float32)
+        # Keep device arrays as-is: converting here would synchronize every
+        # batch and stall the dispatch pipeline; compute() materializes once.
         if valid is not None:  # drop padding rows added for shard divisibility
             video_emb, text_emb = video_emb[:valid], text_emb[:valid]
         self._videos.append(video_emb)
         self._texts.append(text_emb)
 
     def compute(self) -> Dict[str, float]:
-        videos = jnp.asarray(np.concatenate(self._videos))
-        texts = jnp.asarray(np.concatenate(self._texts))
+        videos = jnp.asarray(np.concatenate(
+            [np.asarray(v, np.float32) for v in self._videos]))
+        texts = jnp.asarray(np.concatenate(
+            [np.asarray(t, np.float32) for t in self._texts]))
         ranks = _retrieval_ranks(texts, videos)
         return retrieval_metrics(ranks, self.include_mean_rank)
 
