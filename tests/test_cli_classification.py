@@ -1,0 +1,87 @@
+"""Zero-shot classification through the CLI + checkpoint restore path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fitclip_tpu.cli.main import DEFAULT_CONFIG_DIR, run
+from fitclip_tpu.config_engine import compose
+
+from tests.test_datasets import _write_video
+
+
+@pytest.fixture(scope="module")
+def ucf_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ucf")
+    categories = ["ApplyEyeMakeup", "Basketball", "YoYo"]
+    (root / "classInd.txt").write_text(
+        "\n".join(f"{i + 1} {c}" for i, c in enumerate(categories)))
+    lines = []
+    for category in categories:
+        for clip in range(2):
+            rel = f"{category}/v_{category}_g0{clip}_c01.avi"
+            _write_video(str(root / "videos" / rel))
+            lines.append(rel)
+    (root / "testlist01.txt").write_text("\n".join(lines))
+    os.environ["UCF101_CLASS_IND"] = str(root / "classInd.txt")
+    os.environ["UCF101_TEST_LIST"] = str(root / "testlist01.txt")
+    os.environ["UCF101_VIDEOS"] = str(root / "videos")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tiny_encoder_cfg(tmp_path_factory):
+    from fitclip_tpu.models.clip.tokenizer import write_tiny_test_vocab
+
+    directory = tmp_path_factory.mktemp("vocab")
+    merges, vocab = write_tiny_test_vocab(
+        str(directory), ["a", "photo", "of", "person", "video"] * 3)
+    return {"_target_": "fitclip_tpu.models.clip.load.load_tiny_test_encoder",
+            "bpe_path": merges, "vocab_path": vocab}
+
+
+def test_classification_eval_cli(ucf_env, tiny_encoder_cfg, capsys):
+    cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
+                  ["command=evaluate", "encoder=clip_vit_b_16", "data=ucf101",
+                   "data.eval_batch_size=3", "+data.num_threads=2"])
+    cfg["encoder"] = tiny_encoder_cfg
+    run(cfg)
+    printed = capsys.readouterr().out
+    metrics = json.loads(printed[printed.index("{"):])
+    assert set(metrics) == {"a1", "a5", "mr"}
+    assert 0.0 <= metrics["a1"] <= 1.0
+    assert metrics["a5"] == 1.0  # only 3 classes -> top-5 always hits
+    assert 1 <= metrics["mr"] <= 3
+
+
+def test_checkpoint_restore_into_eval(ucf_env, tiny_encoder_cfg, tmp_path, capsys):
+    """Train -> orbax checkpoint -> evaluate with checkpoint_path restores the
+    trained encoder (the resume/eval-ckpt path, SURVEY §5.4)."""
+    import jax
+
+    from fitclip_tpu.config_engine import instantiate
+    from fitclip_tpu.training.checkpointing import restore_checkpoint, save_checkpoint
+
+    loaded = instantiate(tiny_encoder_cfg)
+    # Fake a "trained" state: perturb params and checkpoint them.
+    perturbed = jax.tree_util.tree_map(lambda a: a + 0.01, loaded.params)
+    save_checkpoint(str(tmp_path / "ckpt" / "best"),
+                    {"params": {"encoder": jax.device_get(perturbed)}})
+
+    restored = restore_checkpoint(str(tmp_path / "ckpt" / "best"))
+    leaf_a = jax.tree_util.tree_leaves(restored["params"]["encoder"])[0]
+    leaf_b = jax.tree_util.tree_leaves(perturbed)[0]
+    np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b), atol=1e-6)
+
+    # CLI-level: evaluate with checkpoint_path pointing at the orbax dir.
+    cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
+                  ["command=evaluate", "encoder=clip_vit_b_16", "data=ucf101",
+                   "data.eval_batch_size=3", "+data.num_threads=2",
+                   f"checkpoint_path={tmp_path}/ckpt/best"])
+    cfg["encoder"] = tiny_encoder_cfg
+    run(cfg)
+    printed = capsys.readouterr().out
+    metrics = json.loads(printed[printed.index("{"):])
+    assert "a1" in metrics
