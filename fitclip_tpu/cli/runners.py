@@ -111,7 +111,13 @@ def run_classification_eval(loaded: LoadedEncoder, data_module,
 def run_predict(loaded: LoadedEncoder, data_module, mesh=None,
                 output_path: str = "predictions.pt") -> Dict[str, Any]:
     """command=predict: dump embeddings + video ids (reference saves
-    predictions.pt via torch.save, __main__.py:80-91)."""
+    predictions.pt via torch.save, __main__.py:80-91). Classification data
+    modules get the argmax-prediction variant
+    (video_text_classification.py:135-140)."""
+    from fitclip_tpu.data.data_module import VideoClassificationDataModule
+
+    if isinstance(data_module, VideoClassificationDataModule):
+        return _run_predict_classification(loaded, data_module, mesh, output_path)
     mesh = mesh or create_mesh()
     encoder = loaded.encoder
     params = jax.device_put(loaded.params, replicated(mesh))
@@ -139,6 +145,46 @@ def run_predict(loaded: LoadedEncoder, data_module, mesh=None,
         "encoded_texts": np.concatenate(encoded_texts),
         "video_ids": video_ids,
     }
+    return _save_predictions(predictions, output_path)
+
+
+def _run_predict_classification(loaded, data_module, mesh, output_path):
+    mesh = mesh or create_mesh()
+    encoder = loaded.encoder
+    params = jax.device_put(loaded.params, replicated(mesh))
+    categories = data_module.categories
+    labels = [name for name, _ in sorted(categories.items(), key=lambda kv: kv[1])]
+    tokenized = tokenize_label_bank(encoder, labels, data_module.templates)
+    label_bank = encode_label_bank(encoder, params, tokenized, num_labels=len(labels))
+
+    @jax.jit
+    def predict_step(params, video):
+        emb = encoder.encode_video(params, video).astype(jnp.float32)
+        scores = jnp.matmul(emb, label_bank.astype(jnp.float32).T)
+        return jnp.argmax(scores, axis=-1)
+
+    predictions_list, labels_list, video_ids = [], [], []
+    loaders = data_module.predict_dataloader()
+    if not isinstance(loaders, list):
+        loaders = [loaders]
+    for loader in loaders:
+        for batch in loader:
+            device_batch, host = split_device_batch(batch)
+            sharded, valid = shard_eval_batch(device_batch, mesh)
+            predicted = np.asarray(predict_step(params, sharded["video"]))[:valid]
+            predictions_list.append(predicted)
+            labels_list.append(np.asarray(batch["label"])[:valid])
+            video_ids.extend(host.get("video_id", []))
+
+    predictions = {
+        "predictions": np.concatenate(predictions_list),
+        "labels": np.concatenate(labels_list),
+        "video_ids": video_ids,
+    }
+    return _save_predictions(predictions, output_path)
+
+
+def _save_predictions(predictions, output_path):
     if output_path:
         try:
             import torch

@@ -85,3 +85,19 @@ def test_checkpoint_restore_into_eval(ucf_env, tiny_encoder_cfg, tmp_path, capsy
     printed = capsys.readouterr().out
     metrics = json.loads(printed[printed.index("{"):])
     assert "a1" in metrics
+
+
+def test_classification_predict_cli(ucf_env, tiny_encoder_cfg, tmp_path):
+    cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
+                  ["command=predict", "encoder=clip_vit_b_16", "data=ucf101",
+                   "data.eval_batch_size=3", "+data.num_threads=2",
+                   f"+output_path={tmp_path}/predictions.pt"])
+    cfg["encoder"] = tiny_encoder_cfg
+    run(cfg)
+    import torch
+
+    predictions = torch.load(str(tmp_path / "predictions.pt"), weights_only=False)
+    assert predictions["predictions"].shape == (6,)
+    assert predictions["labels"].shape == (6,)
+    assert len(predictions["video_ids"]) == 6
+    assert set(np.unique(predictions["labels"])) == {0, 1, 2}
