@@ -28,7 +28,8 @@ def main() -> None:
     from fitclip_tpu.utils.benchmarking import sustained_seconds_per_step
 
     encoder = ClipVideoTextEncoder(CLIPConfig.vit_b_16(), num_frames=4,
-                                   dtype=jnp.bfloat16, fused_attention=True)
+                                   dtype=jnp.bfloat16, fused_attention=True,
+                                   pixel_normalization_folded=True)
     params = encoder.init_params(jax.random.PRNGKey(0))
     params = jax.device_put(fold_pixel_normalization(
         params, encoder.preprocess.mean, encoder.preprocess.std))

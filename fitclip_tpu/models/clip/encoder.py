@@ -33,11 +33,15 @@ class ClipVideoTextEncoder(VideoTextEncoder):
     def __init__(self, config: Optional[CLIPConfig] = None, num_frames: int = 4,
                  dtype=jnp.float32, remat: bool = False,
                  fused_attention: bool = False,
+                 pixel_normalization_folded: bool = False,
                  tokenizer: Optional[ClipTokenizer] = None,
                  bpe_path: Optional[str] = None) -> None:
         self.config = config or CLIPConfig.vit_b_16()
         self.model = CLIPModel(self.config, dtype=dtype, remat=remat,
                                fused_attention=fused_attention)
+        # True when fold_pixel_normalization was applied to the params: the
+        # uint8 path then only casts (the patch kernel normalizes).
+        self.pixel_normalization_folded = pixel_normalization_folded
         self.num_frames = num_frames
         self._tokenizer = tokenizer
         self._bpe_path = bpe_path
@@ -67,9 +71,12 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         embedding's input. Float input is assumed already normalized."""
         if video.dtype == jnp.uint8:
             dtype = self.model.dtype
-            mean = jnp.asarray(self.preprocess.mean, dtype) * 255.0
-            inv_std = 1.0 / (jnp.asarray(self.preprocess.std, dtype) * 255.0)
-            video = (video.astype(dtype) - mean) * inv_std
+            if self.pixel_normalization_folded:
+                video = video.astype(dtype)
+            else:
+                mean = jnp.asarray(self.preprocess.mean, dtype) * 255.0
+                inv_std = 1.0 / (jnp.asarray(self.preprocess.std, dtype) * 255.0)
+                video = (video.astype(dtype) - mean) * inv_std
         b, t = video.shape[0], video.shape[1]
         frames = video.reshape(b * t, *video.shape[2:])
         embeddings = self.model.apply({"params": params}, frames,
