@@ -9,35 +9,17 @@ from fitclip_tpu.data.data_module import (VideoClassificationDataModule,
                                           get_sorted_videos_in_folder)
 from fitclip_tpu.data.video_dataset import VideoDataset
 
+# The 28 OpenAI CLIP Kinetics700 templates
+# (github.com/openai/CLIP/blob/main/data/prompts.md#kinetics700): media word
+# outermost, then the bare form and six "a person <verb>" forms.
+_MEDIA = ("photo", "video", "example", "demonstration")
+_SUBJECTS = ("", "a person ", "a person using ", "a person doing ",
+             "a person during ", "a person performing ", "a person practicing ")
+
 KINETICS_TEMPLATES = [
-    "a photo of {}.",
-    "a photo of a person {}.",
-    "a photo of a person using {}.",
-    "a photo of a person doing {}.",
-    "a photo of a person during {}.",
-    "a photo of a person performing {}.",
-    "a photo of a person practicing {}.",
-    "a video of {}.",
-    "a video of a person {}.",
-    "a video of a person using {}.",
-    "a video of a person doing {}.",
-    "a video of a person during {}.",
-    "a video of a person performing {}.",
-    "a video of a person practicing {}.",
-    "a example of {}.",
-    "a example of a person {}.",
-    "a example of a person using {}.",
-    "a example of a person doing {}.",
-    "a example of a person during {}.",
-    "a example of a person performing {}.",
-    "a example of a person practicing {}.",
-    "a demonstration of {}.",
-    "a demonstration of a person {}.",
-    "a demonstration of a person using {}.",
-    "a demonstration of a person doing {}.",
-    "a demonstration of a person during {}.",
-    "a demonstration of a person performing {}.",
-    "a demonstration of a person practicing {}.",
+    f"a {medium} of {subject}{{}}."
+    for medium in _MEDIA
+    for subject in _SUBJECTS
 ]
 
 

@@ -11,55 +11,18 @@ from fitclip_tpu.data.video_dataset import VideoDataset
 
 RE_CAPITALIZED_WORDS = re.compile(r"[a-zA-Z][^A-Z]*")
 
+# The 48 OpenAI CLIP UCF101 prompt templates
+# (github.com/openai/CLIP/blob/main/data/prompts.md#ucf101) are a cartesian
+# product; generate them in the canonical order: verb form outermost, then
+# a/the, then the four media words.
+_MEDIA = ("photo", "video", "example", "demonstration")
+_VERB_FORMS = ("", "using ", "doing ", "during ", "performing ", "practicing ")
+
 UCF_101_TEMPLATES = [
-    "a photo of a person {}.",
-    "a video of a person {}.",
-    "a example of a person {}.",
-    "a demonstration of a person {}.",
-    "a photo of the person {}.",
-    "a video of the person {}.",
-    "a example of the person {}.",
-    "a demonstration of the person {}.",
-    "a photo of a person using {}.",
-    "a video of a person using {}.",
-    "a example of a person using {}.",
-    "a demonstration of a person using {}.",
-    "a photo of the person using {}.",
-    "a video of the person using {}.",
-    "a example of the person using {}.",
-    "a demonstration of the person using {}.",
-    "a photo of a person doing {}.",
-    "a video of a person doing {}.",
-    "a example of a person doing {}.",
-    "a demonstration of a person doing {}.",
-    "a photo of the person doing {}.",
-    "a video of the person doing {}.",
-    "a example of the person doing {}.",
-    "a demonstration of the person doing {}.",
-    "a photo of a person during {}.",
-    "a video of a person during {}.",
-    "a example of a person during {}.",
-    "a demonstration of a person during {}.",
-    "a photo of the person during {}.",
-    "a video of the person during {}.",
-    "a example of the person during {}.",
-    "a demonstration of the person during {}.",
-    "a photo of a person performing {}.",
-    "a video of a person performing {}.",
-    "a example of a person performing {}.",
-    "a demonstration of a person performing {}.",
-    "a photo of the person performing {}.",
-    "a video of the person performing {}.",
-    "a example of the person performing {}.",
-    "a demonstration of the person performing {}.",
-    "a photo of a person practicing {}.",
-    "a video of a person practicing {}.",
-    "a example of a person practicing {}.",
-    "a demonstration of a person practicing {}.",
-    "a photo of the person practicing {}.",
-    "a video of the person practicing {}.",
-    "a example of the person practicing {}.",
-    "a demonstration of the person practicing {}.",
+    f"a {medium} of {article} person {verb}{{}}."
+    for verb in _VERB_FORMS
+    for article in ("a", "the")
+    for medium in _MEDIA
 ]
 
 

@@ -1,22 +1,34 @@
 #!/usr/bin/env bash
-# For each epoch checkpoint: prepare an eval state dict, then multirun a
-# WiSE-FT ensemble eval across benchmarks (reference scripts/evaluate_per_epoch.sh).
+# Sweep every saved training checkpoint through a WiSE-FT ensemble evaluation
+# across four benchmarks (the reference's per-epoch eval loop,
+# scripts/evaluate_per_epoch.sh). Configure with:
+#   CKPT_GLOB    glob of checkpoints to evaluate (orbax dirs or .ckpt files)
+#   WISE_WEIGHT  ensemble weight for the fine-tuned model (default 0.4)
+#   BENCHMARKS   comma-separated data configs
+set -euo pipefail
 set -x
 
 CKPT_GLOB=${CKPT_GLOB:-checkpoints/epoch_*}
+WISE_WEIGHT=${WISE_WEIGHT:-0.4}
+BENCHMARKS=${BENCHMARKS:-moments_in_time,msrvtt,webvid,youcook2}
+PREPARED=$(mktemp --suffix=.pt)
 
-for file in $CKPT_GLOB; do
-  ./scripts/prepare_trained_clip_checkpoint_for_evaluation.py "$file" a.pt
-  python -m aligner \
-    --multirun \
+for ckpt in $CKPT_GLOB; do
+  # Export an eval-ready CLIP state dict (re-injects the NaN logit_scale).
+  ./scripts/prepare_trained_clip_checkpoint_for_evaluation.py "$ckpt" "$PREPARED"
+
+  # WiSE-FT: pretrained zero-shot model blended with the fine-tuned student.
+  python -m aligner --multirun \
     command=evaluate \
     encoder=wise \
     "++encoder.model1={}" \
     +encoder@encoder.model1=clip_vit_b_16 \
     "++encoder.model2={}" \
     +encoder@encoder.model2=clip_from_pretrained \
-    +encoder.model2.checkpoint_path="$PWD"/a.pt \
-    ++encoder.weight_for_2=0.4 \
-    data=moments_in_time,msrvtt,webvid,youcook2 \
+    +encoder.model2.checkpoint_path="$PREPARED" \
+    ++encoder.weight_for_2="$WISE_WEIGHT" \
+    data="$BENCHMARKS" \
     silent=true
 done
+
+rm -f "$PREPARED"
