@@ -136,6 +136,12 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
     seed_everything(int(cfg.get("seed", 42)))
     command = cfg["command"]
 
+    if not cfg.get("encoder"):
+        raise SystemExit("No encoder selected — pass encoder=<name> "
+                         "(e.g. encoder=clip_vit_b_16; see config/encoder/)")
+    if not cfg.get("data"):
+        raise SystemExit("No dataset selected — pass data=<name> "
+                         "(e.g. data=msrvtt; see config/data/)")
     encoder_slot = instantiate_encoder_slot(cfg["encoder"])
     data_module = instantiate_data_module(cfg["data"], encoder_slot)
 
