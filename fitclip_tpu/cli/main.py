@@ -135,6 +135,11 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
 
     seed_everything(int(cfg.get("seed", 42)))
     command = cfg["command"]
+    known = ("train", "evaluate", "validate", "test", "predict", "tune")
+    if command not in known:
+        # Validate before the (expensive) encoder/data instantiation.
+        raise SystemExit(f"Unknown command: {command!r} — expected one of "
+                         f"{', '.join(known)}")
 
     if not cfg.get("encoder"):
         raise SystemExit("No encoder selected — pass encoder=<name> "
@@ -163,8 +168,10 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
             log_dir=cfg.get("log_dir", "logs"))
         metrics = result["metrics"]
     elif command in ("evaluate", "validate", "test"):
-        eval_single = (lambda enc, dm: run_classification_eval(enc, dm)
-                       if _is_classification(dm) else run_retrieval_eval(enc, dm))
+        split = "test" if command == "test" else "val"
+        eval_single = (lambda enc, dm: run_classification_eval(enc, dm, split=split)
+                       if _is_classification(dm)
+                       else run_retrieval_eval(enc, dm, split=split))
         metrics = eval_single(encoder_slot, data_module)
         print(json.dumps(metrics, indent=2))
     elif command == "predict":

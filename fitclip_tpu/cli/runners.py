@@ -42,8 +42,9 @@ def shard_eval_batch(device_batch, mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), padded), valid
 
 
-def _loaders_with_names(data_module) -> List:
-    loaders = data_module.val_dataloader()
+def _loaders_with_names(data_module, split: str = "val") -> List:
+    loaders = (data_module.test_dataloader() if split == "test"
+               else data_module.val_dataloader())
     if isinstance(loaders, list):
         names = getattr(data_module, "names", [str(i) for i in range(len(loaders))])
         return list(zip(names, loaders))
@@ -51,8 +52,9 @@ def _loaders_with_names(data_module) -> List:
 
 
 def run_retrieval_eval(loaded: LoadedEncoder, data_module,
-                       mesh=None) -> Dict[str, float]:
-    """Zero-shot text->video retrieval (command=evaluate/validate)."""
+                       mesh=None, split: str = "val") -> Dict[str, float]:
+    """Zero-shot text->video retrieval (command=evaluate/validate/test;
+    command=test routes to the test split, reference __main__.py:64-69)."""
     mesh = mesh or create_mesh()
     encoder = loaded.encoder
     params = jax.device_put(loaded.params, replicated(mesh))
@@ -64,7 +66,7 @@ def run_retrieval_eval(loaded: LoadedEncoder, data_module,
         return v, t
 
     results: Dict[str, float] = {}
-    for name, loader in _loaders_with_names(data_module):
+    for name, loader in _loaders_with_names(data_module, split):
         evaluator = RetrievalEvaluator()
         for batch in loader:
             device_batch, _ = split_device_batch(batch)
@@ -82,8 +84,9 @@ def run_retrieval_eval(loaded: LoadedEncoder, data_module,
     return results
 
 
-def run_classification_eval(loaded: LoadedEncoder, data_module,
-                            mesh=None, per_class: bool = False) -> Dict[str, float]:
+def run_classification_eval(loaded: LoadedEncoder, data_module, mesh=None,
+                            per_class: bool = False,
+                            split: str = "val") -> Dict[str, float]:
     """Zero-shot classification (video_text_classification.py semantics)."""
     mesh = mesh or create_mesh()
     encoder = loaded.encoder
@@ -100,7 +103,9 @@ def run_classification_eval(loaded: LoadedEncoder, data_module,
         return encoder.encode_video(params, video).astype(jnp.float32)
 
     evaluator = ClassificationEvaluator(label_bank=label_bank, per_class=per_class)
-    for batch in data_module.val_dataloader():
+    loader = (data_module.test_dataloader() if split == "test"
+              else data_module.val_dataloader())
+    for batch in loader:
         device_batch, _ = split_device_batch(batch)
         sharded, valid = shard_eval_batch(device_batch, mesh)
         v = encode_video(params, sharded["video"])

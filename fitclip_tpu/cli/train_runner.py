@@ -147,8 +147,11 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
 
 
 def _has_val(data_module) -> bool:
+    # Only "no val split defined" disables validation; a val loader that
+    # CRASHES must propagate — swallowing it would silently disable
+    # best-checkpointing and early stopping too.
     try:
         data_module.val_dataloader()
         return True
-    except (NotImplementedError, Exception):
+    except NotImplementedError:
         return False

@@ -109,6 +109,14 @@ class VideoDataModule(ABC):
         raise NotImplementedError
 
     def test_dataloader(self) -> DataLoader:
+        # Reference routes command=test to the test split (__main__.py:69);
+        # modules without one fall back to val, but loudly, so a silent
+        # val-split "test" result can't masquerade as a test-split number.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s defines no test split; falling back to the val split",
+            type(self).__name__)
         return self.val_dataloader()
 
     def predict_dataloader(self) -> DataLoader:

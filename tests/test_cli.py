@@ -123,3 +123,21 @@ def test_run_train_contrastive_end_to_end(msrvtt_env, vocab_paths, tmp_path):
     assert log_file.exists()
     lines = [json.loads(line) for line in log_file.read_text().splitlines()]
     assert any("r1" in line for line in lines)
+
+
+def test_has_val_propagates_loader_crashes():
+    """A crashing val loader must raise, not silently disable validation
+    (which would also disable best-checkpointing and early stopping)."""
+    from fitclip_tpu.cli.train_runner import _has_val
+
+    class NoVal:
+        def val_dataloader(self):
+            raise NotImplementedError
+
+    class CrashingVal:
+        def val_dataloader(self):
+            raise RuntimeError("bad annotation file")
+
+    assert _has_val(NoVal()) is False
+    with pytest.raises(RuntimeError, match="bad annotation file"):
+        _has_val(CrashingVal())

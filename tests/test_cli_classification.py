@@ -101,3 +101,75 @@ def test_classification_predict_cli(ucf_env, tiny_encoder_cfg, tmp_path):
     assert predictions["labels"].shape == (6,)
     assert len(predictions["video_ids"]) == 6
     assert set(np.unique(predictions["labels"])) == {0, 1, 2}
+
+
+@pytest.fixture(scope="module")
+def kinetics_env(tmp_path_factory):
+    """Kinetics tree with DISTINCT val and test splits (2 vs 4 videos)."""
+    import csv
+
+    root = tmp_path_factory.mktemp("kinetics")
+    categories = ["abseiling", "baking"]
+    (root / "categories.txt").write_text("\n".join(categories))
+
+    def make_split(name, n):
+        folder = root / name
+        rows = []
+        for i in range(n):
+            vid = f"{name}vid{i}"
+            start, end = 0, 10
+            _write_video(str(folder / f"{vid}_{start:06}_{end:06}.mp4"))
+            rows.append({"youtube_id": vid, "time_start": start, "time_end": end,
+                         "label": categories[i % len(categories)]})
+        with open(root / f"{name}.csv", "w", newline="") as file:
+            writer = csv.DictWriter(file, fieldnames=list(rows[0]))
+            writer.writeheader()
+            writer.writerows(rows)
+
+    make_split("val", 2)
+    make_split("test", 4)
+    os.environ["KINETICS_CATEGORIES"] = str(root / "categories.txt")
+    for split in ("train", "val", "test"):
+        os.environ[f"KINETICS_{split.upper()}_CSV"] = str(root / f"{split}.csv")
+        os.environ[f"KINETICS_{split.upper()}_VIDEOS"] = str(root / split)
+    return str(root)
+
+
+def test_command_test_routes_to_test_split(kinetics_env, tiny_encoder_cfg, caplog):
+    """command=test must evaluate the test split when one exists
+    (reference __main__.py:64-69), with no val fallback."""
+    import logging
+
+    from fitclip_tpu.config_engine import instantiate
+    from fitclip_tpu.cli.main import instantiate_data_module
+
+    cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
+                  ["command=test", "encoder=clip_vit_b_16", "data=kinetics400",
+                   "data.eval_batch_size=2", "+data.num_threads=2"])
+    encoder_slot = instantiate(tiny_encoder_cfg)
+    dm = instantiate_data_module(cfg["data"], encoder_slot)
+    val_items = sum(len(b["label"]) for b in dm.val_dataloader())
+    test_items = sum(len(b["label"]) for b in dm.test_dataloader())
+    assert (val_items, test_items) == (2, 4)  # splits genuinely differ
+
+    with caplog.at_level(logging.WARNING):
+        cfg["encoder"] = tiny_encoder_cfg
+        run(cfg)
+    assert not [r for r in caplog.records if "falling back" in r.message]
+
+
+def test_command_test_falls_back_to_val_with_warning(ucf_env, tiny_encoder_cfg,
+                                                     caplog, capsys):
+    """Modules without a test split warn loudly instead of silently
+    evaluating val as if it were test."""
+    import logging
+
+    cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
+                  ["command=test", "encoder=clip_vit_b_16", "data=ucf101",
+                   "data.eval_batch_size=3", "+data.num_threads=2"])
+    cfg["encoder"] = tiny_encoder_cfg
+    with caplog.at_level(logging.WARNING):
+        run(cfg)
+    assert [r for r in caplog.records if "falling back to the val split" in r.message]
+    printed = capsys.readouterr().out
+    assert "a1" in printed
