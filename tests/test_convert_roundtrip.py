@@ -93,3 +93,24 @@ def test_prepare_checkpoint_script(tiny_params, tmp_path):
     out = torch.load(tmp_path / "eval.pt", weights_only=False)
     assert "visual.proj" in out
     assert np.isnan(out["logit_scale"].item())
+
+
+def test_prepare_generic_checkpoint_script(tiny_params, tmp_path):
+    """The generic (non-CLIP) variant: prefix strip only, no logit_scale
+    surgery (reference scripts/prepare_trained_checkpoint_for_evaluation.py)."""
+    import torch
+
+    _, params = tiny_params
+    sd = clip_torch_state_dict_from_params(params)
+    prefixed = {"state_dict": {f"encoder.model.{k}": torch.from_numpy(np.asarray(v))
+                               for k, v in sd.items()}}
+    torch.save(prefixed, tmp_path / "train.ckpt")
+    result = subprocess.run(
+        [sys.executable, "scripts/prepare_trained_checkpoint_for_evaluation.py",
+         str(tmp_path / "train.ckpt"), str(tmp_path / "eval.pt")],
+        capture_output=True, text=True)
+    assert result.returncode == 0, result.stderr
+    out = torch.load(tmp_path / "eval.pt", weights_only=False)
+    assert "visual.proj" in out
+    assert "logit_scale" not in out  # no CLIP-specific NaN re-injection
+    assert set(out) == set(sd)
