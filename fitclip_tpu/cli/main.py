@@ -178,9 +178,16 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
         run_predict(encoder_slot, data_module,
                     output_path=cfg.get("output_path", "predictions.pt"))
     elif command == "tune":
-        raise NotImplementedError(
-            "command=tune (auto LR/batch-size search) is not implemented yet; "
-            "use hparam_search for sweeps")
+        from fitclip_tpu.cli.tune import run_tune
+
+        # Reference asserts tune never runs from a resume checkpoint
+        # (__main__.py:55-59).
+        assert not checkpoint_path, "checkpoint_path can't be tuned from"
+        suggestions = run_tune(encoder_slot, data_module,
+                               trainer_cfg=cfg.get("trainer", {}),
+                               tune_cfg=cfg.get("tune"))
+        print(json.dumps(suggestions, indent=2))
+        metrics = dict(suggestions)
     else:
         raise ValueError(f"Unknown command: {command}")
 

@@ -170,3 +170,20 @@ def test_every_encoder_config_composes(name):
         module_name, attr = str(target).rsplit(".", 1)
         module = __import__(module_name, fromlist=[attr])
         assert hasattr(module, attr), f"{name}: target {target} not importable"
+
+
+def test_run_tune_end_to_end(msrvtt_env, vocab_paths, capsys):
+    """command=tune: batch-size doubling search + LR range test over the
+    jitted train step (reference trainer.tune(), __main__.py:55-63)."""
+    cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
+                  ["command=tune", "encoder=clip_vit_b_16", "data=msrvtt",
+                   "+data.batch_size=1", "+data.num_threads=2",
+                   "+tune.num_lr_steps=30", "+tune.max_trials=3",
+                   "+tune.lr_max=0.1"])
+    cfg["encoder"] = _tiny_encoder_cfg(vocab_paths)
+    run(cfg)
+    printed = capsys.readouterr().out
+    suggestions = json.loads(printed[printed.index("{"):printed.index("}") + 1])
+    # 3 doubling trials from 2 all fit on CPU -> suggestion is the cap 8.
+    assert suggestions["batch_size"] == 8
+    assert 1e-8 <= suggestions["lr"] <= 0.1
