@@ -176,20 +176,24 @@ class ClipTokenizer:
         return result
 
 
-def write_tiny_test_vocab(directory: str, words: Sequence[str]) -> Tuple[str, str]:
-    """Build a miniature-but-valid merges/vocab pair for unit tests: merges are
-    derived by repeatedly fusing the most frequent pair in `words` (the real
-    BPE training loop, tiny corpus)."""
+def train_bpe_merges(words: Sequence[str], num_merges: int = 64,
+                     min_count: int = 2) -> List[Tuple[str, str]]:
+    """The real BPE training loop: repeatedly fuse the most frequent adjacent
+    symbol pair (ties broken deterministically by pair order) until
+    `num_merges` merges exist or no pair repeats. Words are byte-encoded
+    first, exactly as the tokenizer sees them."""
     from collections import Counter
 
-    corpus = [tuple(w[:-1]) + (w[-1] + "</w>",) for w in words]
+    byte_encoder = bytes_to_unicode()
+    encoded = ["".join(byte_encoder[b] for b in w.encode("utf-8")) for w in words]
+    corpus = [tuple(w[:-1]) + (w[-1] + "</w>",) for w in encoded if w]
     merges: List[Tuple[str, str]] = []
-    for _ in range(64):
+    for _ in range(num_merges):
         counts = Counter(p for word in corpus for p in zip(word[:-1], word[1:]))
         if not counts:
             break
-        (first, second), count = counts.most_common(1)[0]
-        if count < 2:
+        (first, second), count = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        if count < min_count:
             break
         merges.append((first, second))
         new_corpus = []
@@ -205,6 +209,29 @@ def write_tiny_test_vocab(directory: str, words: Sequence[str]) -> Tuple[str, st
                     i += 1
             new_corpus.append(tuple(out))
         corpus = new_corpus
+    return merges
+
+
+def write_openai_format_vocab(path: str, merges: Sequence[Tuple[str, str]]) -> str:
+    """Write merges in the OpenAI ``bpe_simple_vocab_16e6.txt.gz`` layout: a
+    header line (the release's first line is skipped unconditionally by CLIP's
+    tokenizer) followed by one merge pair per line, gzipped iff `.gz`."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt", encoding="utf-8") as f:
+        # No trailing newline: CLIP's reader slices merges[1:N] after
+        # split('\n'), so a trailing empty line would become a phantom
+        # zero-length merge token and shift every id after it.
+        f.write("#version: 0.2")
+        for a, b in merges:
+            f.write(f"\n{a} {b}")
+    return path
+
+
+def write_tiny_test_vocab(directory: str, words: Sequence[str]) -> Tuple[str, str]:
+    """Build a miniature-but-valid merges/vocab pair for unit tests: merges are
+    derived by repeatedly fusing the most frequent pair in `words` (the real
+    BPE training loop, tiny corpus)."""
+    merges = train_bpe_merges(words, num_merges=64)
 
     merges_path = os.path.join(directory, "merges.txt")
     with open(merges_path, "w", encoding="utf-8") as f:

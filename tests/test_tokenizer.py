@@ -83,3 +83,92 @@ def test_special_tokens_pass_through(tok):
     ids = tok.encode(f"{SOT_TOKEN}hello{EOT_TOKEN}")
     assert tok.sot_id in ids
     assert tok.eot_id in ids
+
+
+# ---------------------------------------------------------------------------
+# Fuzz parity vs the reference's vendored SimpleTokenizer on a mid-size vocab
+# (/root/reference/aligner/encoder/slip.py:75-164). The real 49,152-merge
+# release isn't fetchable in this zero-egress environment; a ~1.5k-merge vocab
+# trained on a mixed ASCII/unicode corpus exercises the same corner cases
+# (long merge chains, byte-fallbacks, </w> handling, specials).
+# ---------------------------------------------------------------------------
+
+_WORDS = ("the of and a to in is was he for it with as his on be at by i this "
+          "had not are but from or have an they which one you were her all she "
+          "there would their we him been has when who will more no if out so "
+          "said what up its about into than them can only other new some could "
+          "time these two may then do first any my now such like our over man "
+          "photo video person playing running jumping swimming cooking dancing "
+          "première ça日本語中文한국어 straße naïve café jalapeño "
+          "aaaaaa bbbbbb abababab xyzzyx").split()
+
+
+@pytest.fixture(scope="module")
+def midsize_vocab_path(tmp_path_factory):
+    from fitclip_tpu.models.clip.tokenizer import (train_bpe_merges,
+                                                   write_openai_format_vocab)
+
+    rng = np.random.default_rng(0)
+    # Zipf-weighted real words + synthetic random words so the pair space is
+    # rich enough for >1k merges with realistic long chains.
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyzé日ßñ"))
+    synthetic = ["".join(rng.choice(letters, size=rng.integers(3, 12)))
+                 for _ in range(1200)]
+    pool = np.array(_WORDS + synthetic)
+    weights = 1.0 / np.arange(1, len(pool) + 1)
+    corpus = list(rng.choice(pool, size=40000, p=weights / weights.sum()))
+    merges = train_bpe_merges(corpus, num_merges=1500, min_count=2)
+    assert len(merges) >= 1000, f"corpus too small, got {len(merges)} merges"
+    path = str(tmp_path_factory.mktemp("midvocab") / "bpe_mid_vocab.txt.gz")
+    return write_openai_format_vocab(path, merges)
+
+
+def _fuzz_texts(n: int = 400):
+    rng = np.random.default_rng(1)
+    pieces = _WORDS + ["'s", "'ll", "don't", "it's", "123", "3.14", "!!!", "?!",
+                       "&amp;", "&lt;b&gt;", "...", "--", "№", "€", "🎥", "🐈",
+                       "a" * 40, "ab" * 30, "<|startoftext|>", "<|endoftext|>",
+                       "UPPER", "MiXeD", "\t", "  ", " "]
+    texts = []
+    for _ in range(n):
+        k = int(rng.integers(1, 12))
+        texts.append(" ".join(rng.choice(pieces, size=k)))
+    texts += ["", " ", "a", "🎥🎥🎥", "ß" * 25, "\n\nhello\t\tworld\n"]
+    return texts
+
+
+def _reference_simple_tokenizer(bpe_path):
+    from tests.reference_oracle import install_reference, reference_available
+
+    if not reference_available():
+        pytest.skip("reference tree unavailable")
+    install_reference()
+    from tests.test_slip import _install_timm_stub
+
+    _install_timm_stub()
+    from aligner.encoder.slip import SimpleTokenizer
+
+    return SimpleTokenizer(bpe_path=bpe_path)
+
+
+def test_fuzz_parity_vs_reference_simple_tokenizer(midsize_vocab_path):
+
+    theirs = _reference_simple_tokenizer(midsize_vocab_path)
+    ours = ClipTokenizer(bpe_path=midsize_vocab_path)
+    assert ours.vocab_size == len(theirs.encoder)
+
+    mismatches = []
+    for text in _fuzz_texts():
+        ref_ids = theirs.encode(text)
+        our_ids = ours.encode(text)
+        if ref_ids != our_ids:
+            mismatches.append((text, ref_ids, our_ids))
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"
+
+
+def test_fuzz_decode_round_trip_matches_reference(midsize_vocab_path):
+    theirs = _reference_simple_tokenizer(midsize_vocab_path)
+    ours = ClipTokenizer(bpe_path=midsize_vocab_path)
+    for text in _fuzz_texts(80):
+        ids = ours.encode(text)
+        assert ours.decode(ids) == theirs.decode(ids)
