@@ -51,6 +51,21 @@ def main() -> None:
             return carry + (jnp.abs(emb).sum() > 0).astype(jnp.int32)
         return jax.lax.fori_loop(0, steps, body, jnp.int32(0))
 
+    # Real-hardware kernel numerics gate (VERDICT weak #7): the fused Pallas
+    # path must match the einsum path ON THE TPU LOWERING, not just the CPU
+    # interpreter, so kernel regressions can't hide behind throughput noise.
+    reference_encoder = ClipVideoTextEncoder(
+        CLIPConfig.vit_b_16(), num_frames=4, dtype=jnp.bfloat16,
+        fused_attention=False, pixel_normalization_folded=True)
+    small = video[:4]
+    fused_emb = np.asarray(jax.jit(encoder.encode_video)(params, small),
+                           dtype=np.float32)
+    einsum_emb = np.asarray(jax.jit(reference_encoder.encode_video)(params, small),
+                            dtype=np.float32)
+    cosine = (fused_emb * einsum_emb).sum(-1) / (
+        np.linalg.norm(fused_emb, axis=-1) * np.linalg.norm(einsum_emb, axis=-1))
+    assert cosine.min() > 0.999, f"fused-vs-einsum TPU mismatch: {cosine.min()}"
+
     # Dynamic trip count -> ONE compile for both step counts (remote Pallas
     # compiles are minutes each).
     seconds = sustained_seconds_per_step(

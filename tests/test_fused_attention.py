@@ -5,35 +5,37 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fitclip_tpu.ops.attention import _einsum_attention, fused_attention, fused_attention_bhld
+from fitclip_tpu.ops.attention import (_einsum_attention_packed, fused_attention,
+                                       fused_attention_packed)
 
 
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("seq,dim", [(16, 8), (24, 16)])
-def test_fused_matches_einsum(causal, seq, dim):
+@pytest.mark.parametrize("seq,heads,dim", [(16, 1, 8), (24, 2, 16), (10, 3, 8)])
+def test_fused_matches_einsum(causal, seq, heads, dim):
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(6, seq, dim)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(6, seq, dim)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(6, seq, dim)).astype(np.float32))
+    width = heads * dim
+    q = jnp.asarray(rng.normal(size=(6, seq, width)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(6, seq, width)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(6, seq, width)).astype(np.float32))
     scale = dim ** -0.5
-    expected = _einsum_attention(q, k, v, scale, causal)
-    actual = fused_attention_bhld(q, k, v, scale, causal)
+    expected = _einsum_attention_packed(q, k, v, heads, scale, causal)
+    actual = fused_attention_packed(q, k, v, heads, scale, causal)
     np.testing.assert_allclose(np.asarray(actual), np.asarray(expected),
                                atol=1e-5, rtol=1e-5)
 
 
-def test_fused_bhld_gradients_match_einsum():
+def test_fused_packed_gradients_match_einsum():
     rng = np.random.default_rng(1)
-    q = jnp.asarray(rng.normal(size=(2, 8, 8)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(2, 8, 8)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(2, 8, 8)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(2, 8, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 8, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 8, 16)).astype(np.float32))
     scale = 8 ** -0.5
 
     def loss_fused(q, k, v):
-        return fused_attention_bhld(q, k, v, scale, False).sum()
+        return fused_attention_packed(q, k, v, 2, scale, False).sum()
 
     def loss_einsum(q, k, v):
-        return _einsum_attention(q, k, v, scale, False).sum()
+        return _einsum_attention_packed(q, k, v, 2, scale, False).sum()
 
     grads_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
     grads_einsum = jax.grad(loss_einsum, argnums=(0, 1, 2))(q, k, v)
