@@ -51,6 +51,15 @@ def _loaders_with_names(data_module, split: str = "val") -> List:
     return [(None, loaders)]
 
 
+def _maybe_calibrate(encoder, params, video, text=None):
+    """int8 encoders get their activation scales calibrated on the first REAL
+    eval batch (post-training quantization on the true data distribution)."""
+    if getattr(encoder, "quantized", False) and hasattr(encoder, "calibrate"):
+        LOGGER.info("Calibrating int8 activation scales on the first batch")
+        return encoder.calibrate(params, video, text)
+    return params
+
+
 def run_retrieval_eval(loaded: LoadedEncoder, data_module,
                        mesh=None, split: str = "val") -> Dict[str, float]:
     """Zero-shot text->video retrieval (command=evaluate/validate/test;
@@ -66,6 +75,7 @@ def run_retrieval_eval(loaded: LoadedEncoder, data_module,
         return v, t
 
     results: Dict[str, float] = {}
+    calibrated = not getattr(encoder, "quantized", False)
     for name, loader in _loaders_with_names(data_module, split):
         evaluator = RetrievalEvaluator()
         for batch in loader:
@@ -76,6 +86,10 @@ def run_retrieval_eval(loaded: LoadedEncoder, data_module,
             # teacher_student.py:142-173).
             video = sharded.get("video", sharded.get("video_student"))
             text = sharded.get("text", sharded.get("text_student"))
+            if not calibrated:
+                params = jax.device_put(_maybe_calibrate(encoder, params, video, text),
+                                        replicated(mesh))
+                calibrated = True
             v, t = eval_step(params, video, text)
             evaluator.update(v, t, valid=valid)
         metrics = evaluator.compute()
@@ -96,6 +110,17 @@ def run_classification_eval(loaded: LoadedEncoder, data_module, mesh=None,
     labels = [name for name, _ in sorted(categories.items(), key=lambda kv: kv[1])]
     templates = data_module.templates
     tokenized = tokenize_label_bank(encoder, labels, templates)
+
+    loader = (data_module.test_dataloader() if split == "test"
+              else data_module.val_dataloader())
+    batches = iter(loader)
+    first = next(batches, None)
+    if first is not None and getattr(encoder, "quantized", False):
+        first_video, _ = split_device_batch(first)
+        params = jax.device_put(
+            _maybe_calibrate(encoder, params, jnp.asarray(first_video["video"]),
+                             jnp.asarray(tokenized[:32])), replicated(mesh))
+
     label_bank = encode_label_bank(encoder, params, tokenized, num_labels=len(labels))
 
     @jax.jit
@@ -103,9 +128,9 @@ def run_classification_eval(loaded: LoadedEncoder, data_module, mesh=None,
         return encoder.encode_video(params, video).astype(jnp.float32)
 
     evaluator = ClassificationEvaluator(label_bank=label_bank, per_class=per_class)
-    loader = (data_module.test_dataloader() if split == "test"
-              else data_module.val_dataloader())
-    for batch in loader:
+    import itertools
+
+    for batch in itertools.chain([first] if first is not None else [], batches):
         device_batch, _ = split_device_batch(batch)
         sharded, valid = shard_eval_batch(device_batch, mesh)
         v = encode_video(params, sharded["video"])

@@ -34,11 +34,16 @@ class ClipVideoTextEncoder(VideoTextEncoder):
                  dtype=jnp.float32, remat: bool = False,
                  fused_attention: bool = False,
                  pixel_normalization_folded: bool = False,
+                 quantized: bool = False,
                  tokenizer: Optional[ClipTokenizer] = None,
                  bpe_path: Optional[str] = None) -> None:
         self.config = config or CLIPConfig.vit_b_16()
+        # quantized = int8 W8A8 block denses (eval-only; ops/quant.py). The
+        # params tree must then come from quantize_clip_params.
+        self.quantized = quantized
         self.model = CLIPModel(self.config, dtype=dtype, remat=remat,
-                               fused_attention=fused_attention)
+                               fused_attention=fused_attention,
+                               quantized=quantized)
         # True when fold_pixel_normalization was applied to the params: the
         # uint8 path then only casts (the patch kernel normalizes).
         self.pixel_normalization_folded = pixel_normalization_folded
@@ -59,6 +64,14 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         cfg = self.config
         dummy_image = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
         dummy_ids = jnp.zeros((1, cfg.text.context_length), jnp.int32)
+        if self.quantized:
+            # Init a float twin and quantize so random-init tests carry real
+            # (nonzero) weights in the int8 structure.
+            from fitclip_tpu.ops.quant import quantize_clip_params
+
+            float_model = CLIPModel(self.config, dtype=self.model.dtype)
+            params = float_model.init(rng, dummy_image, dummy_ids)["params"]
+            return quantize_clip_params(params)
         return self.model.init(rng, dummy_image, dummy_ids)["params"]
 
     def encode_video(self, params, video: jnp.ndarray) -> jnp.ndarray:
@@ -69,6 +82,14 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         uint8 input is normalized on device ((x/255 - mean)/std) — the host
         pipeline ships raw pixels; XLA fuses the normalization into the patch
         embedding's input. Float input is assumed already normalized."""
+        b, t = video.shape[0], video.shape[1]
+        frames = self._prepare_frames(video)
+        embeddings = self.model.apply({"params": params}, frames,
+                                      method=CLIPModel.encode_image)
+        embeddings = l2_normalize(embeddings)
+        return embeddings.reshape(b, t, -1).mean(axis=1)
+
+    def _prepare_frames(self, video: jnp.ndarray) -> jnp.ndarray:
         if video.dtype == jnp.uint8:
             dtype = self.model.dtype
             if self.pixel_normalization_folded:
@@ -78,11 +99,33 @@ class ClipVideoTextEncoder(VideoTextEncoder):
                 inv_std = 1.0 / (jnp.asarray(self.preprocess.std, dtype) * 255.0)
                 video = (video.astype(dtype) - mean) * inv_std
         b, t = video.shape[0], video.shape[1]
-        frames = video.reshape(b * t, *video.shape[2:])
-        embeddings = self.model.apply({"params": params}, frames,
-                                      method=CLIPModel.encode_image)
-        embeddings = l2_normalize(embeddings)
-        return embeddings.reshape(b, t, -1).mean(axis=1)
+        return video.reshape(b * t, *video.shape[2:])
+
+    def calibrate(self, params, video: jnp.ndarray,
+                  text: Optional[jnp.ndarray] = None,
+                  margin: float = 1.0):
+        """Post-training quantization calibration: run both towers in
+        DYNAMIC-quant mode on sample data (accurate intermediates), collect
+        the sown activation abs-maxes and write them into the act_scale
+        leaves. Returns the calibrated params tree."""
+        from fitclip_tpu.ops.quant import apply_act_scales
+
+        assert self.quantized, "calibrate() requires a quantized encoder"
+        dynamic_model = CLIPModel(self.config, dtype=self.model.dtype,
+                                  remat=self.model.remat,
+                                  fused_attention=self.model.fused_attention,
+                                  quantized="dynamic")
+        frames = self._prepare_frames(video)
+        _, state = dynamic_model.apply({"params": params}, frames,
+                                       method=CLIPModel.encode_image,
+                                       mutable=["intermediates"])
+        intermediates = dict(state["intermediates"])
+        if text is not None:
+            _, text_state = dynamic_model.apply({"params": params}, text,
+                                                method=CLIPModel.encode_text,
+                                                mutable=["intermediates"])
+            intermediates.update(dict(text_state["intermediates"]))
+        return apply_act_scales(params, intermediates, margin=margin)
 
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
         embeddings = self.model.apply({"params": params}, text,

@@ -86,12 +86,24 @@ def load_clip_encoder(name: str = "ViT-B/16",
         raise ValueError(f"Unknown CLIP preset '{name}' and no checkpoint_path given. "
                          f"Presets: {sorted(PRESETS) + sorted(RESNET_PRESETS)}")
 
+    # encoder.dtype=int8 selects the W8A8 inference path: bf16 activations,
+    # int8 block denses quantized from the loaded fp32 weights (ops/quant.py).
+    quantized = str(dtype) == "int8"
+    if not quantized and str(dtype) not in _DTYPES:
+        raise ValueError(f"Unknown encoder dtype {dtype!r} — expected one of "
+                         f"{sorted(_DTYPES)} or 'int8'")
+    compute_dtype = _DTYPES["bfloat16" if quantized else str(dtype)]
     encoder = ClipVideoTextEncoder(config, num_frames=num_frames,
-                                   dtype=_DTYPES[str(dtype)], remat=remat,
+                                   dtype=compute_dtype, remat=remat,
                                    fused_attention=fused_attention,
+                                   quantized=quantized,
                                    bpe_path=bpe_path)
     if state_dict is not None:
         params = clip_params_from_torch(state_dict, config)
+        if quantized:
+            from fitclip_tpu.ops.quant import quantize_clip_params
+
+            params = quantize_clip_params(params)
     else:
         LOGGER.warning("No checkpoint_path for CLIP %s: initializing randomly.", name)
         params = encoder.init_params(jax.random.PRNGKey(seed))

@@ -134,6 +134,50 @@ class _FastLayerNorm(nn.Module):
         return (y * scale + bias).astype(self.out_dtype)
 
 
+class QuantDense(nn.Module):
+    """int8 W8A8 dense (ops/quant.py). Init yields zero weights — real
+    parameters arrive via quantize_clip_params on a loaded fp32 tree.
+
+    Two activation-quant modes: ``dynamic`` (per-row scales computed on the
+    fly; accurate but pays a reduction pass per dense — calibration mode) and
+    static (default; calibrated per-tensor ``act_scale`` param, quantize is a
+    single fused elementwise op). Every call sows the observed activation
+    abs-max so a calibration pass (mutable=["intermediates"]) can collect
+    scales; when intermediates aren't mutable the sow is dropped and XLA DCEs
+    the reduction."""
+    features: int
+    dtype: Dtype
+    dynamic: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from fitclip_tpu.ops.quant import int8_dense, int8_dense_static
+
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (x.shape[-1], self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        act_scale = self.param("act_scale", nn.initializers.ones,
+                               (1,), jnp.float32)
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32))).reshape(1)
+        self.sow("intermediates", "act_amax", amax)
+        if self.dynamic:
+            return int8_dense(x.astype(self.dtype), kernel_q, scale, bias)
+        return int8_dense_static(x.astype(self.dtype), kernel_q, scale, bias,
+                                 act_scale)
+
+
+def _dense(quantized, features: int, dtype: Dtype, name: str):
+    """quantized: False (float Dense), True ("static" int8) or "dynamic"."""
+    if quantized:
+        return QuantDense(features, dtype, dynamic=(quantized == "dynamic"),
+                          name=name)
+    return nn.Dense(features, dtype=dtype, param_dtype=jnp.float32,
+                    precision=PRECISION, name=name)
+
+
 class MultiHeadAttention(nn.Module):
     """Self-attention with a fused QKV projection (matches OpenAI's in_proj
     layout so converted weights drop in as one matmul). With ``fused=True``
@@ -144,12 +188,13 @@ class MultiHeadAttention(nn.Module):
     causal: bool
     dtype: Dtype
     fused: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         seq = x.shape[-2]
         head_dim = self.width // self.heads
-        qkv = nn.Dense(3 * self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="in_proj")(x)
+        qkv = _dense(self.quantized, 3 * self.width, self.dtype, "in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         if self.fused:
@@ -159,8 +204,7 @@ class MultiHeadAttention(nn.Module):
 
             out = fused_attention_packed(q, k, v, self.heads,
                                          head_dim ** -0.5, self.causal)
-            return nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
-                            precision=PRECISION, name="out_proj")(out)
+            return _dense(self.quantized, self.width, self.dtype, "out_proj")(out)
 
         def split_heads(t):
             return t.reshape(*t.shape[:-1], self.heads, head_dim)
@@ -176,7 +220,7 @@ class MultiHeadAttention(nn.Module):
         weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("...hqk,...khd->...qhd", weights, v, precision=PRECISION)
         out = out.reshape(*out.shape[:-2], self.width)
-        return nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="out_proj")(out)
+        return _dense(self.quantized, self.width, self.dtype, "out_proj")(out)
 
 
 class ResidualBlock(nn.Module):
@@ -187,16 +231,18 @@ class ResidualBlock(nn.Module):
     dtype: Dtype
     fused_attention: bool = False
     ln_eps: float = 1e-5
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
         x = x + MultiHeadAttention(self.width, self.heads, self.causal, self.dtype,
-                                   self.fused_attention, name="attn")(
+                                   self.fused_attention, self.quantized,
+                                   name="attn")(
             LayerNormFp32(self.dtype, self.ln_eps, name="ln_1")(x))
         h = LayerNormFp32(self.dtype, self.ln_eps, name="ln_2")(x)
-        h = nn.Dense(4 * self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="mlp_fc")(h)
+        h = _dense(self.quantized, 4 * self.width, self.dtype, "mlp_fc")(h)
         h = quick_gelu(h) if self.quick_gelu else nn.gelu(h, approximate=False)
-        h = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, precision=PRECISION, name="mlp_proj")(h)
+        h = _dense(self.quantized, self.width, self.dtype, "mlp_proj")(h)
         return x + h, None
 
 
@@ -211,6 +257,7 @@ class Transformer(nn.Module):
     remat: bool = False
     fused_attention: bool = False
     ln_eps: float = 1e-5
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -219,12 +266,12 @@ class Transformer(nn.Module):
             block_cls = nn.remat(block_cls, prevent_cse=False)
         scanned = nn.scan(
             block_cls,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             length=self.layers,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(self.width, self.heads, self.causal, self.quick_gelu, self.dtype,
-          self.fused_attention, self.ln_eps, name="blocks")
+          self.fused_attention, self.ln_eps, self.quantized, name="blocks")
         x, _ = scanned(x, None)
         return x
 
@@ -236,6 +283,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype
     remat: bool = False
     fused_attention: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -262,7 +310,8 @@ class VisionTransformer(nn.Module):
         x = LayerNormFp32(self.dtype, name="ln_pre")(x)
         x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=False,
                         quick_gelu=self.quick_gelu, dtype=self.dtype, remat=self.remat,
-                        fused_attention=self.fused_attention, name="transformer")(x)
+                        fused_attention=self.fused_attention,
+                        quantized=self.quantized, name="transformer")(x)
         x = LayerNormFp32(self.dtype, name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(cfg.width ** -0.5),
                           (cfg.width, self.embed_dim), jnp.float32)
@@ -276,6 +325,7 @@ class TextTransformer(nn.Module):
     dtype: Dtype
     remat: bool = False
     fused_attention: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
@@ -290,7 +340,8 @@ class TextTransformer(nn.Module):
         x = x + pos[: x.shape[1]].astype(self.dtype)
         x = Transformer(cfg.width, cfg.layers, cfg.heads, causal=True,
                         quick_gelu=self.quick_gelu, dtype=self.dtype, remat=self.remat,
-                        fused_attention=self.fused_attention, name="transformer")(x)
+                        fused_attention=self.fused_attention,
+                        quantized=self.quantized, name="transformer")(x)
         x = LayerNormFp32(self.dtype, name="ln_final")(x)
         eot = jnp.argmax(input_ids, axis=-1)
         x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
@@ -304,14 +355,15 @@ class CLIPModel(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     fused_attention: bool = False
+    quantized: bool = False
 
     def setup(self):
         self.visual = VisionTransformer(self.config.vision, self.config.embed_dim,
                                         self.config.quick_gelu, self.dtype, self.remat,
-                                        self.fused_attention)
+                                        self.fused_attention, self.quantized)
         self.text = TextTransformer(self.config.text, self.config.embed_dim,
                                     self.config.quick_gelu, self.dtype, self.remat,
-                                    self.fused_attention)
+                                    self.fused_attention, self.quantized)
 
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.visual(images)

@@ -143,35 +143,6 @@ def test_has_val_propagates_loader_crashes():
         _has_val(CrashingVal())
 
 
-ENCODER_MANDATORY_OVERRIDES = {
-    "clip_from_pretrained": ["encoder.checkpoint_path=/tmp/ckpt.pt"],
-    "slip": ["encoder.model=SLIP_VITB16"],
-    "slip_from_pretrained": ["encoder.checkpoint_path=/tmp/ckpt.pt"],
-    "wise": ["+encoder@encoder.model1=clip_vit_b_16",
-             "+encoder@encoder.model2=clip_vit_b_16"],
-}
-
-
-@pytest.mark.parametrize("name", sorted(
-    os.path.splitext(f)[0]
-    for f in os.listdir(os.path.join(DEFAULT_CONFIG_DIR, "encoder"))
-    if f.endswith(".yaml")))
-def test_every_encoder_config_composes(name):
-    """Every reference-named encoder config composes through the real tree
-    (the reference's evaluate-any-released-checkpoint-by-name capability;
-    reference config/encoder/*)."""
-    overrides = ["command=evaluate", f"encoder={name}", "data=msrvtt",
-                 *ENCODER_MANDATORY_OVERRIDES.get(name, [])]
-    cfg = compose(DEFAULT_CONFIG_DIR, "trainer", overrides)
-    encoder = cfg["encoder"]
-    targets = ([encoder["_target_"]] if "_target_" in encoder
-               else [encoder["model1"]["_target_"], encoder["model2"]["_target_"]])
-    for target in targets:
-        module_name, attr = str(target).rsplit(".", 1)
-        module = __import__(module_name, fromlist=[attr])
-        assert hasattr(module, attr), f"{name}: target {target} not importable"
-
-
 def test_run_tune_end_to_end(msrvtt_env, vocab_paths, capsys):
     """command=tune: batch-size doubling search + LR range test over the
     jitted train step (reference trainer.tune(), __main__.py:55-63)."""

@@ -20,12 +20,30 @@ def test_all_data_configs_compose(name):
     assert "_target_" in cfg["data"]
 
 
-@pytest.mark.parametrize("name", [n for n in _group_names("encoder")
-                                  if n not in ("clip_from_pretrained", "wise")])
+# Configs with mandatory (???) values get them supplied as a user would.
+ENCODER_MANDATORY_OVERRIDES = {
+    "clip_from_pretrained": ["encoder.checkpoint_path=/tmp/ckpt.pt"],
+    "slip": ["encoder.model=SLIP_VITB16"],
+    "slip_from_pretrained": ["encoder.checkpoint_path=/tmp/ckpt.pt"],
+    "wise": ["+encoder@encoder.model1=clip_vit_b_16",
+             "+encoder@encoder.model2=clip_vit_b_16"],
+}
+
+
+@pytest.mark.parametrize("name", _group_names("encoder"))
 def test_all_encoder_configs_compose(name):
+    """Every reference-named encoder config composes AND its target is
+    importable (the evaluate-any-released-checkpoint-by-name capability)."""
     cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
-                  ["command=evaluate", f"encoder={name}", "data=msrvtt"])
-    assert "_target_" in cfg["encoder"]
+                  ["command=evaluate", f"encoder={name}", "data=msrvtt",
+                   *ENCODER_MANDATORY_OVERRIDES.get(name, [])])
+    encoder = cfg["encoder"]
+    targets = ([encoder["_target_"]] if "_target_" in encoder
+               else [encoder["model1"]["_target_"], encoder["model2"]["_target_"]])
+    for target in targets:
+        module_name, attr = str(target).rsplit(".", 1)
+        module = __import__(module_name, fromlist=[attr])
+        assert hasattr(module, attr), f"{name}: target {target} not importable"
 
 
 def test_drift_eval_trainer_composes():
