@@ -87,6 +87,10 @@ int prev_keyframe(const Decoder* d, int frame) {
 extern "C" {
 
 void* vd_open(const char* path) {
+  // Quiet libav chatter (e.g. swscale's per-frame deprecated-pixel-format
+  // warning on yuvj streams); real failures surface as nullptr returns that
+  // the Python layer logs and zero-fills.
+  av_log_set_level(AV_LOG_ERROR);
   auto* d = new Decoder();
   if (avformat_open_input(&d->format_ctx, path, nullptr, nullptr) < 0) {
     delete d;
