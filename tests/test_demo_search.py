@@ -51,3 +51,68 @@ def test_op_star(captions):
     results = list(search_in_subtitles(
         captions, [{"LOWER": "cat"}, {"OP": "*"}, {"LOWER": "mat"}]))
     assert any(r["text"] == "cat sits on the mat" for r in results)
+
+
+def test_http_server_endpoints(captions, monkeypatch):
+    """Drive the real HTTP server: frontend, static assets, health, search."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import demo.app as app
+
+    monkeypatch.setattr(app, "CAPTIONS", captions)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), app.Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                return r.status, r.headers.get("Content-Type"), r.read()
+
+        status, ctype, body = get("/")
+        assert status == 200 and "text/html" in ctype
+        assert b"Speech search" in body
+
+        status, ctype, _ = get("/static/js/index.js")
+        assert status == 200 and "javascript" in ctype
+        status, ctype, _ = get("/static/css/index.css")
+        assert status == 200 and "css" in ctype
+
+        status, _, body = get("/health")
+        assert status == 200 and json.loads(body)["captions"] == len(captions)
+
+        import urllib.parse
+
+        q = urllib.parse.quote(json.dumps([{"LOWER": "cat"}]))
+        status, _, body = get(f"/search?q={q}&top_k=5")
+        results = json.loads(body)
+        assert status == 200 and results and results[0]["text"] == "cat"
+    finally:
+        server.shutdown()
+
+
+def test_static_path_traversal_blocked(captions, monkeypatch):
+    import demo.app as app
+
+    assert app._static_file("../app.py") is None
+    assert app._static_file("/../../etc/passwd") is None
+    assert app._static_file("index.html") is not None
+
+
+def test_wsgi_application(captions, monkeypatch):
+    import demo.app as app
+
+    monkeypatch.setattr(app, "CAPTIONS", captions)
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    body = b"".join(app.application(
+        {"PATH_INFO": "/search",
+         "QUERY_STRING": "q=" + json.dumps([{"LOWER": "mat"}])}, start_response))
+    assert captured["status"].startswith("200")
+    assert json.loads(body)[0]["text"] == "mat"
