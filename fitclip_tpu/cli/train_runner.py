@@ -83,6 +83,15 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
     mesh = mesh or create_mesh()
     is_teacher_student = isinstance(encoder_slot, Mapping)
 
+    # Eval-only encoders (frozen-BN CLIP ResNets, SLIP family) refuse to
+    # train with a clear error instead of silently optimizing frozen stats.
+    for loaded in (encoder_slot.values() if is_teacher_student else [encoder_slot]):
+        enc = loaded.encoder
+        if getattr(enc, "trainable", True) is False or getattr(enc, "quantized", False):
+            raise ValueError(
+                f"{type(enc).__name__} is evaluation-only (frozen-BN/int8); "
+                "fine-tune a ViT CLIP encoder instead (e.g. encoder=clip_vit_b_16)")
+
     init_temperature = float(model_cfg.get("init_temperature", 0.05))
     min_temperature = float(model_cfg.get("min_temperature", 0.001))
     fit_temperature = bool(model_cfg.get("fit_temperature", True))

@@ -79,7 +79,16 @@ class ResNetCLIPModel(nn.Module):
 
 class ResNetClipVideoTextEncoder(ClipVideoTextEncoder):
     """Same preprocessing/pooling contract as the ViT CLIP encoder (frame-mean
-    of L2-normalized per-frame embeddings) over the ResNet tower."""
+    of L2-normalized per-frame embeddings) over the ResNet tower.
+
+    EVALUATION-ONLY: the BatchNorms run with folded (frozen) statistics — the
+    inference form of the released checkpoints. Fine-tuning an RN tower would
+    need live batch statistics + moving-average state threaded through the
+    train step; the reference paper only ever fine-tunes the ViT towers, and
+    its RN configs are zero-shot eval entries (config/encoder/clip_rn*.yaml).
+    The training CLI refuses these encoders with a clear error."""
+
+    trainable = False
 
     def __init__(self, config: ResNetCLIPConfig, num_frames: int = 4,
                  dtype=jnp.float32, tokenizer=None,

@@ -206,7 +206,10 @@ _SLIP_MODEL_CONFIGS = {
 
 class SlipVideoTextEncoder(VideoTextEncoder):
     """Eval-only wrapper: frame-mean of L2-normalized per-frame embeddings
-    (slip_video_text_encoder.py:25-99)."""
+    (slip_video_text_encoder.py:25-99; the reference's train sampler/transform
+    raise, slip_video_text_encoder.py:66-75)."""
+
+    trainable = False
 
     def __init__(self, config: Optional[SlipConfig] = None, num_frames: int = 4,
                  dtype=jnp.float32, fused_attention: bool = False,

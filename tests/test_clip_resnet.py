@@ -173,3 +173,17 @@ def test_resnet_clip_encoder_and_converter_roundtrip():
     np.testing.assert_allclose(np.linalg.norm(np.asarray(emb_t), axis=1), 1.0,
                                atol=1e-5)
     assert encoder.preprocess.image_size == 64
+
+
+def test_resnet_encoder_refuses_training(tmp_path):
+    """Frozen-BN RN towers are eval-only; the train runner must say so
+    instead of silently optimizing frozen statistics."""
+    import pytest as _pytest
+
+    from fitclip_tpu.cli.train_runner import run_train
+    from fitclip_tpu.models.clip.load import load_clip_encoder
+
+    loaded = load_clip_encoder(name="RN50", num_frames=2)
+    with _pytest.raises(ValueError, match="evaluation-only"):
+        run_train(loaded, data_module=None, model_cfg={}, trainer_cfg={},
+                  optimizer_cfg={})
