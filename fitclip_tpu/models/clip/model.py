@@ -195,16 +195,16 @@ class MultiHeadAttention(nn.Module):
         seq = x.shape[-2]
         head_dim = self.width // self.heads
         qkv = _dense(self.quantized, 3 * self.width, self.dtype, "in_proj")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         if self.fused:
-            # The packed kernel consumes the projection's natural (B, L, H*D)
-            # layout and does the head split/transpose on VMEM data.
-            from fitclip_tpu.ops.attention import fused_attention_packed
+            # The kernel consumes the projection's UNSPLIT (B, L, 3*H*D)
+            # output and does the q/k/v + head split/transpose on VMEM data.
+            from fitclip_tpu.ops.attention import fused_attention_qkv
 
-            out = fused_attention_packed(q, k, v, self.heads,
-                                         head_dim ** -0.5, self.causal)
+            out = fused_attention_qkv(qkv, self.heads, head_dim ** -0.5,
+                                      self.causal)
             return _dense(self.quantized, self.width, self.dtype, "out_proj")(out)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(t):
             return t.reshape(*t.shape[:-1], self.heads, head_dim)

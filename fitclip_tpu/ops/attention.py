@@ -33,21 +33,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, scale: float,
-                   causal: bool):
-    """One grid cell = a block of batch rows, q/k/v packed as (BB, L, H*D)."""
+def _packed_kernel(qkv_ref, o_ref, *, heads: int, scale: float, causal: bool):
+    """One grid cell = a block of batch rows; the input is the QKV
+    projection's UNSPLIT output (BB, L, 3*H*D) — one kernel operand instead
+    of three saves the XLA-side slice copies feeding the call."""
     block_b, seq, width = o_ref.shape
     head_dim = width // heads
+    qkv = qkv_ref[...]
 
-    def transposed_heads(ref):
-        full = ref[...]  # (BB, L, H*D)
-        parts = [full[:, :, h * head_dim:(h + 1) * head_dim].swapaxes(1, 2)
-                 for h in range(heads)]
+    def transposed_heads(offset):
+        parts = [qkv[:, :, offset + h * head_dim:offset + (h + 1) * head_dim]
+                 .swapaxes(1, 2) for h in range(heads)]
         return jnp.concatenate(parts, axis=0)  # (H*BB, D, L)
 
-    q = transposed_heads(q_ref) * jnp.asarray(scale, q_ref.dtype)
-    k = transposed_heads(k_ref)
-    v = transposed_heads(v_ref)
+    q = transposed_heads(0) * jnp.asarray(scale, qkv.dtype)
+    k = transposed_heads(width)
+    v = transposed_heads(2 * width)
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (H*BB, L, L), contract over D
@@ -106,49 +107,62 @@ def _einsum_attention_packed(q, k, v, heads: int, scale: float, causal: bool):
     return out.reshape(b, seq, width)
 
 
-def _forward_packed(q, k, v, heads: int, scale: float, causal: bool,
+def _forward_packed(qkv, heads: int, scale: float, causal: bool,
                     interpret: bool):
-    batch, seq, width = q.shape
+    batch, seq, triple_width = qkv.shape
+    width = triple_width // 3
     block = _block_rows(batch, seq, heads, width // heads)
     kernel = functools.partial(_packed_kernel, heads=heads, scale=scale,
                                causal=causal)
-    spec = pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
         kernel,
         grid=(batch // block,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        in_specs=[pl.BlockSpec((block, seq, triple_width), lambda i: (i, 0, 0),
+                               memory_space=memory_space)],
+        out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, width), qkv.dtype),
         interpret=interpret,
-    )(q, k, v)
+    )(qkv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_attention_qkv(qkv, heads: int, scale: float, causal: bool = False,
+                        interpret: Optional[bool] = None):
+    """Attention over the UNSPLIT QKV projection output (B, L, 3*H*D) — the
+    projection's natural layout, no XLA-side split or head transpose.
+    `interpret` defaults to True off-TPU so tests run on the interpreter."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _forward_packed(qkv, heads, scale, causal, interpret)
+
+
 def fused_attention_packed(q, k, v, heads: int, scale: float,
                            causal: bool = False,
                            interpret: Optional[bool] = None):
-    """Attention over packed (B, L, H*D) tensors — the projection's natural
-    layout, no XLA-side head split/transpose. `interpret` defaults to True
-    off-TPU so tests run on the Pallas interpreter."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    return _forward_packed(q, k, v, heads, scale, causal, interpret)
+    """Attention over packed (B, L, H*D) q/k/v (concatenated to one QKV
+    operand for the kernel)."""
+    return fused_attention_qkv(jnp.concatenate([q, k, v], axis=-1), heads,
+                               scale, causal, interpret)
 
 
-def _fwd(q, k, v, heads, scale, causal, interpret):
-    return fused_attention_packed(q, k, v, heads, scale, causal, interpret), (q, k, v)
+def _fwd(qkv, heads, scale, causal, interpret):
+    return fused_attention_qkv(qkv, heads, scale, causal, interpret), (qkv,)
 
 
 def _bwd(heads, scale, causal, interpret, residuals, grad_out):
-    q, k, v = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _einsum_attention_packed(q_, k_, v_, heads, scale, causal),
-        q, k, v)
+    (qkv,) = residuals
+
+    def reference(qkv_):
+        q, k, v = jnp.split(qkv_, 3, axis=-1)
+        return _einsum_attention_packed(q, k, v, heads, scale, causal)
+
+    _, vjp = jax.vjp(reference, qkv)
     return vjp(grad_out)
 
 
-fused_attention_packed.defvjp(_fwd, _bwd)
+fused_attention_qkv.defvjp(_fwd, _bwd)
 
 
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
