@@ -68,6 +68,16 @@ def main() -> None:
     einsum_emb = jax.jit(einsum_encoder.encode_video)(params, small)
     gate1 = cosine(bf16_emb, einsum_emb)
     assert gate1 > 0.999, f"fused-vs-einsum TPU mismatch: {gate1}"
+    # The causal (text) path takes a different mask branch in the kernel.
+    ids = np.zeros((4, 77), np.int32)
+    for row in range(4):
+        n = int(rng.integers(5, 70))
+        ids[row, :n] = rng.integers(1, 49407, n)
+        ids[row, n] = 49407
+    text_small = jnp.asarray(ids)
+    gate1t = cosine(jax.jit(bf16_encoder.encode_text)(params, text_small),
+                    jax.jit(einsum_encoder.encode_text)(params, text_small))
+    assert gate1t > 0.999, f"fused-vs-einsum causal TPU mismatch: {gate1t}"
 
     if bench_dtype == "int8":
         encoder = ClipVideoTextEncoder(CLIPConfig.vit_b_16(), num_frames=4,
