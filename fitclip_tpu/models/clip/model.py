@@ -178,6 +178,39 @@ def _dense(quantized, features: int, dtype: Dtype, name: str):
                     precision=PRECISION, name=name)
 
 
+class _FusedInProjAttention(nn.Module):
+    """QKV projection (int8 W8A8, static act scale) + fused attention as ONE
+    Pallas kernel (ops/attention.py:fused_int8_qkv_attention). Param names
+    and shapes match QuantDense so quantize_clip_params / calibration trees
+    load unchanged (this module is named "in_proj")."""
+    width: int
+    heads: int
+    causal: bool
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from fitclip_tpu.ops.attention import fused_int8_qkv_attention
+        from fitclip_tpu.ops.quant import QUANT_EPS
+
+        features = 3 * self.width
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (x.shape[-1], features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        act_scale = self.param("act_scale", nn.initializers.ones, (1,), jnp.float32)
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32))).reshape(1)
+        self.sow("intermediates", "act_amax", amax)
+        inv = 127.0 / jnp.maximum(act_scale.astype(jnp.float32), QUANT_EPS)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv),
+                       -127, 127).astype(jnp.int8)
+        out_scale = (act_scale.astype(jnp.float32) / 127.0) * scale
+        head_dim = self.width // self.heads
+        return fused_int8_qkv_attention(x_q, kernel_q, out_scale, bias,
+                                        self.heads, head_dim ** -0.5,
+                                        self.causal, out_dtype=self.dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """Self-attention with a fused QKV projection (matches OpenAI's in_proj
     layout so converted weights drop in as one matmul). With ``fused=True``
@@ -194,6 +227,12 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         seq = x.shape[-2]
         head_dim = self.width // self.heads
+        if self.fused and self.quantized is True:
+            # Static-int8 + fused: QKV projection AND attention in one kernel.
+            out = _FusedInProjAttention(self.width, self.heads, self.causal,
+                                        self.dtype, name="in_proj")(x)
+            return _dense(self.quantized, self.width, self.dtype, "out_proj")(out)
+
         qkv = _dense(self.quantized, 3 * self.width, self.dtype, "in_proj")(x)
 
         if self.fused:

@@ -185,3 +185,80 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out = fused_attention_packed(pack(q), pack(k), pack(v), heads,
                                  head_dim ** -0.5, causal)
     return out.reshape(b, seq, heads, head_dim)
+
+
+def _int8_qkv_attention_kernel(xq_ref, w_ref, scale_ref, bias_ref, o_ref, *,
+                               heads: int, scale: float, causal: bool):
+    """QKV projection (int8 W8A8) + attention in ONE kernel: the (B, L, 3W)
+    qkv tensor never round-trips HBM, and the int8 weights (constant
+    index_map) stay resident in VMEM across grid steps. Measured best at
+    block_b=1 on v5e (smaller footprint pipelines better)."""
+    block_b, seq, width = o_ref.shape
+    head_dim = width // heads
+    acc = jax.lax.dot_general(
+        xq_ref[...], w_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # (BB, L, 3W)
+    qkv = (acc.astype(jnp.float32) * scale_ref[...][0]
+           + bias_ref[...][0]).astype(o_ref.dtype)
+
+    def heads_along_batch(offset, transpose):
+        parts = [qkv[:, :, offset + h * head_dim:offset + (h + 1) * head_dim]
+                 for h in range(heads)]
+        if transpose:
+            parts = [part.swapaxes(1, 2) for part in parts]
+        return jnp.concatenate(parts, axis=0)
+
+    q = heads_along_batch(0, False) * jnp.asarray(scale, qkv.dtype)
+    k_t = heads_along_batch(width, True)
+    v = heads_along_batch(2 * width, False)
+    logits = jax.lax.dot_general(
+        q, k_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+        logits = jnp.where(col <= row, logits, jnp.finfo(jnp.float32).min)
+    peak = jnp.max(logits, axis=-1, keepdims=True)
+    exps = jnp.exp(logits - peak)
+    denom = jnp.sum(exps, axis=-1, keepdims=True)
+    weights = (exps / denom).astype(qkv.dtype)
+    out = jax.lax.dot_general(
+        weights, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = jnp.concatenate(
+        [out[h * block_b:(h + 1) * block_b] for h in range(heads)],
+        axis=2).astype(o_ref.dtype)
+
+
+def fused_int8_qkv_attention(x_q, kernel_q, out_scale, bias, heads: int,
+                             scale: float, causal: bool = False,
+                             interpret: Optional[bool] = None,
+                             out_dtype=jnp.bfloat16):
+    """x_q (B, L, W) int8 (pre-quantized activations), kernel_q (W, 3W) int8,
+    out_scale/bias (3W,) fp32 -> attention output (B, L, W) in out_dtype.
+    Inference-only (no VJP: the int8 path never trains)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, width = x_q.shape
+    block = 1
+    kernel = functools.partial(_int8_qkv_attention_kernel, heads=heads,
+                               scale=scale, causal=causal)
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[
+            pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((width, 3 * width), lambda i: (0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((1, 3 * width), lambda i: (0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((1, 3 * width), lambda i: (0, 0),
+                         memory_space=memory_space),
+        ],
+        out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, width), out_dtype),
+        interpret=interpret,
+    )(x_q, kernel_q, out_scale.reshape(1, -1), bias.reshape(1, -1))

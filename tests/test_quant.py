@@ -177,3 +177,20 @@ def test_cli_evaluate_int8(tmp_path, capsys, monkeypatch):
     metrics = json_module.loads(printed[printed.index("{"):])
     assert set(metrics) == {"r1", "r5", "r10", "mr"}
     assert 1 <= metrics["mr"] <= 4
+
+
+def test_fused_int8_attention_matches_unfused(float_and_quant):
+    """The single-kernel int8 QKV+attention path must match the QuantDense +
+    separate-kernel path (same params tree) on the interpreter."""
+    model, params, qmodel, qparams = float_and_quant
+    config = CLIPConfig.tiny_test()
+    fused_q = CLIPModel(config, quantized=True, fused_attention=True)
+    rng = np.random.default_rng(6)
+    images = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 60, size=(3, 16)).astype(np.int32))
+    img_a, txt_a = qmodel.apply({"params": qparams}, images, ids)
+    img_b, txt_b = fused_q.apply({"params": qparams}, images, ids)
+    np.testing.assert_allclose(np.asarray(img_a, np.float32),
+                               np.asarray(img_b, np.float32), atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(txt_a, np.float32),
+                               np.asarray(txt_b, np.float32), atol=2e-3, rtol=2e-3)
