@@ -83,14 +83,18 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
     mesh = mesh or create_mesh()
     is_teacher_student = isinstance(encoder_slot, Mapping)
 
-    # Eval-only encoders (frozen-BN CLIP ResNets, SLIP family) refuse to
-    # train with a clear error instead of silently optimizing frozen stats.
+    # Eval-only encoders (SLIP family, int8-quantized towers) refuse to train
+    # with a clear error. Encoders with normalization state (batch-stats BN
+    # CLIP ResNets) train, but their running statistics update by EMA through
+    # the step, not by gradient — freeze them from the optimizer.
+    bn_freeze_patterns = []
     for loaded in (encoder_slot.values() if is_teacher_student else [encoder_slot]):
         enc = loaded.encoder
         if getattr(enc, "trainable", True) is False or getattr(enc, "quantized", False):
             raise ValueError(
-                f"{type(enc).__name__} is evaluation-only (frozen-BN/int8); "
+                f"{type(enc).__name__} is evaluation-only (eval-form weights/int8); "
                 "fine-tune a ViT CLIP encoder instead (e.g. encoder=clip_vit_b_16)")
+        bn_freeze_patterns.extend(getattr(enc, "bn_freeze_patterns", ()))
 
     init_temperature = float(model_cfg.get("init_temperature", 0.05))
     min_temperature = float(model_cfg.get("min_temperature", 0.001))
@@ -111,8 +115,8 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
         weight_decay=float(optimizer_cfg.get("weight_decay", 0.01)),
         eps=float(optimizer_cfg.get("eps", 1e-8)),
         betas=tuple(optimizer_cfg.get("betas", (0.9, 0.999))),
-        freeze_patterns=callbacks_cfg.get("param_freeze_patterns")
-        if callbacks_cfg else None,
+        freeze_patterns=(list((callbacks_cfg or {}).get("param_freeze_patterns")
+                              or []) + bn_freeze_patterns) or None,
         fit_temperature=fit_temperature,
         gradient_clip_val=trainer_cfg.get("gradient_clip_val"),
         params_example=params_template,

@@ -147,6 +147,35 @@ def load_tiny_test_encoder(num_frames: int = 4, seed: int = 0,
                          params=encoder.init_params(jax.random.PRNGKey(seed)))
 
 
+def load_tiny_rn_test_encoder(num_frames: int = 2, seed: int = 0,
+                              bpe_path: Optional[str] = None,
+                              vocab_path: Optional[str] = None) -> LoadedEncoder:
+    """Tiny randomly-initialized ResNet-CLIP for smoke tests and CLI dry runs
+    (exercises the trainable batch-stats BN path end to end)."""
+    from fitclip_tpu.models.clip.model import TextConfig
+    from fitclip_tpu.models.clip.resnet import ModifiedResNetConfig
+    from fitclip_tpu.models.clip.resnet_clip import (ResNetCLIPConfig,
+                                                     ResNetClipVideoTextEncoder)
+    from fitclip_tpu.models.clip.tokenizer import ClipTokenizer
+
+    tokenizer = None
+    if bpe_path:
+        tokenizer = ClipTokenizer(bpe_path=bpe_path, vocab_path=vocab_path,
+                                  context_length=16)
+    vocab_size = tokenizer.vocab_size if tokenizer else 64
+    config = ResNetCLIPConfig(
+        embed_dim=16,
+        vision=ModifiedResNetConfig(layers=(1, 1, 1, 1), width=8,
+                                    output_dim=16, input_resolution=32,
+                                    heads=4),
+        text=TextConfig(context_length=16, vocab_size=vocab_size, width=16,
+                        heads=2, layers=2))
+    encoder = ResNetClipVideoTextEncoder(config, num_frames=num_frames,
+                                         tokenizer=tokenizer)
+    return LoadedEncoder(encoder=encoder,
+                         params=encoder.init_params(jax.random.PRNGKey(seed)))
+
+
 def wise_encoder(model1: LoadedEncoder, model2: LoadedEncoder,
                  weight_for_2: float = 0.5) -> LoadedEncoder:
     """WiSE-FT at instantiation time (config/encoder/wise.yaml -> wise.py:19-23;

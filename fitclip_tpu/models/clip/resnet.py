@@ -5,9 +5,15 @@ BN + ReLU x3, then avgpool-2), Bottleneck blocks whose strided convs are
 replaced by conv + avgpool (and avgpool + 1x1 in the shortcut), and a final
 QKV attention pool over spatial positions with a mean-token query.
 
-Channels-last NHWC (TPU-native conv layout); BatchNorm is inference-mode
-(frozen running stats) — the reference only ever evaluates RN CLIP variants
-through released weights, and fine-tuning targets the ViT models.
+Channels-last NHWC (TPU-native conv layout). BatchNorm runs in inference mode
+(folded frozen statistics) for evaluation, and in train mode (live batch
+statistics, torch semantics) when the tower is built with ``train=True``:
+the forward normalizes with the biased batch variance and backprops through
+the batch statistics exactly like ``torch.nn.BatchNorm2d.train()``, while the
+EMA-updated running stats are sown into a mutable ``bn_stats`` collection for
+the train step to merge back into the parameter tree (running stats stay in
+``params`` so the same converted checkpoints load either way; the optimizer
+freezes them by regex — see cli/train_runner.py).
 """
 
 import dataclasses
@@ -20,9 +26,16 @@ import jax.numpy as jnp
 PRECISION = jax.lax.Precision.HIGHEST
 
 
-class BatchNormInference(nn.Module):
+class BatchNorm(nn.Module):
+    """CLIP-ResNet BatchNorm. ``use_batch_stats=False`` is the inference form
+    (affine fold of frozen running stats). ``use_batch_stats=True`` matches
+    torch train-mode BN: normalize with (biased) batch statistics computed in
+    fp32 over (B, H, W), and sow the momentum-EMA running stats (unbiased
+    variance, torch convention) into the "bn_stats" collection."""
     features: int
     eps: float = 1e-5
+    use_batch_stats: bool = False
+    momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x):
@@ -30,8 +43,28 @@ class BatchNormInference(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         var = self.param("running_var", nn.initializers.ones, (self.features,))
-        inv = jax.lax.rsqrt(var + self.eps) * scale
-        return x * inv + (bias - mean * inv)
+        if not self.use_batch_stats:
+            inv = jax.lax.rsqrt(var + self.eps) * scale
+            return x * inv + (bias - mean * inv)
+
+        reduce_axes = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        batch_mean = x32.mean(axis=reduce_axes)
+        batch_var = jnp.square(x32 - batch_mean).mean(axis=reduce_axes)
+        count = x32.size // x32.shape[-1]
+        unbiased = batch_var * (count / max(count - 1, 1))
+        self.sow("bn_stats", "mean",
+                 jax.lax.stop_gradient((1 - self.momentum) * mean
+                                       + self.momentum * batch_mean))
+        self.sow("bn_stats", "var",
+                 jax.lax.stop_gradient((1 - self.momentum) * var
+                                       + self.momentum * unbiased))
+        inv = jax.lax.rsqrt(batch_var + self.eps) * scale
+        return (x32 * inv + (bias - batch_mean * inv)).astype(x.dtype)
+
+
+# Backwards-compatible alias (inference configuration).
+BatchNormInference = BatchNorm
 
 
 def _conv(features, kernel, stride=1, name=None, padding=0):
@@ -47,22 +80,26 @@ def _avg_pool(x, window):
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
+    train: bool = False
 
     @nn.compact
     def __call__(self, x):
+        def bn(features, name):
+            return BatchNorm(features, use_batch_stats=self.train, name=name)
+
         identity = x
-        out = nn.relu(BatchNormInference(self.planes, name="bn1")(
+        out = nn.relu(bn(self.planes, "bn1")(
             _conv(self.planes, 1, name="conv1")(x)))
-        out = nn.relu(BatchNormInference(self.planes, name="bn2")(
+        out = nn.relu(bn(self.planes, "bn2")(
             _conv(self.planes, 3, padding=1, name="conv2")(out)))
         if self.stride > 1:
             out = _avg_pool(out, self.stride)
-        out = BatchNormInference(self.planes * 4, name="bn3")(
+        out = bn(self.planes * 4, "bn3")(
             _conv(self.planes * 4, 1, name="conv3")(out))
         if self.stride > 1 or x.shape[-1] != self.planes * 4:
             if self.stride > 1:
                 identity = _avg_pool(identity, self.stride)
-            identity = BatchNormInference(self.planes * 4, name="downsample_bn")(
+            identity = bn(self.planes * 4, "downsample_bn")(
                 _conv(self.planes * 4, 1, name="downsample_conv")(identity))
         return nn.relu(out + identity)
 
@@ -112,6 +149,7 @@ class ModifiedResNetConfig:
 
 class ModifiedResNet(nn.Module):
     config: ModifiedResNetConfig
+    train: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -119,11 +157,15 @@ class ModifiedResNet(nn.Module):
         cfg = self.config
         w = cfg.width
         x = images
-        x = nn.relu(BatchNormInference(w // 2, name="bn1")(
+
+        def bn(features, name):
+            return BatchNorm(features, use_batch_stats=self.train, name=name)
+
+        x = nn.relu(bn(w // 2, "bn1")(
             _conv(w // 2, 3, stride=2, padding=1, name="conv1")(x)))
-        x = nn.relu(BatchNormInference(w // 2, name="bn2")(
+        x = nn.relu(bn(w // 2, "bn2")(
             _conv(w // 2, 3, padding=1, name="conv2")(x)))
-        x = nn.relu(BatchNormInference(w, name="bn3")(
+        x = nn.relu(bn(w, "bn3")(
             _conv(w, 3, padding=1, name="conv3")(x)))
         x = _avg_pool(x, 2)
 
@@ -131,6 +173,7 @@ class ModifiedResNet(nn.Module):
                 cfg.layers, (w, w * 2, w * 4, w * 8), (1, 2, 2, 2)), start=1):
             for block in range(count):
                 x = Bottleneck(planes, stride if block == 0 else 1,
+                               train=self.train,
                                name=f"layer{stage}_{block}")(x)
 
         spacial = cfg.input_resolution // 32

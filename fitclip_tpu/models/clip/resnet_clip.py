@@ -1,8 +1,10 @@
 """ResNet-CLIP assembly: ModifiedResNet vision tower + CLIP text transformer.
 
 Covers the named OpenAI weights RN50 / RN101 / RN50x4 / RN50x16 / RN50x64
-(reference config/encoder/clip_rn*.yaml slots). Evaluation-path models (frozen
-BatchNorm); the reference likewise only evaluates RN variants.
+(reference config/encoder/clip_rn*.yaml slots). Evaluation runs frozen-stat
+BatchNorm (the released-checkpoint inference form); training runs live
+batch-stats BN with EMA running-stat updates threaded through the train step
+(see ResNetClipVideoTextEncoder.encode_video_train).
 """
 
 import dataclasses
@@ -61,9 +63,10 @@ RESNET_PRESETS = {
 class ResNetCLIPModel(nn.Module):
     config: ResNetCLIPConfig
     dtype: object = jnp.float32
+    train_bn: bool = False
 
     def setup(self):
-        self.visual = ModifiedResNet(self.config.vision)
+        self.visual = ModifiedResNet(self.config.vision, train=self.train_bn)
         self.text = TextTransformer(self.config.text, self.config.embed_dim,
                                     self.config.quick_gelu, self.dtype)
 
@@ -81,14 +84,18 @@ class ResNetClipVideoTextEncoder(ClipVideoTextEncoder):
     """Same preprocessing/pooling contract as the ViT CLIP encoder (frame-mean
     of L2-normalized per-frame embeddings) over the ResNet tower.
 
-    EVALUATION-ONLY: the BatchNorms run with folded (frozen) statistics — the
-    inference form of the released checkpoints. Fine-tuning an RN tower would
-    need live batch statistics + moving-average state threaded through the
-    train step; the reference paper only ever fine-tunes the ViT towers, and
-    its RN configs are zero-shot eval entries (config/encoder/clip_rn*.yaml).
-    The training CLI refuses these encoders with a clear error."""
+    Trainable: evaluation uses folded (frozen) running statistics — the
+    inference form of the released checkpoints — while the training path runs
+    live batch-stats BatchNorm (torch.train() semantics). The EMA running-stat
+    updates come back through ``encode_video_train`` (flax mutable
+    "bn_stats" collection) and the train step merges them into the parameter
+    tree with ``apply_bn_updates`` after the optimizer update; the running
+    stats themselves are optimizer-frozen via ``bn_freeze_patterns``."""
 
-    trainable = False
+    trainable = True
+    # Running statistics update via EMA, not gradient descent: the train
+    # runner appends these to the optimizer freeze regexes automatically.
+    bn_freeze_patterns = (r"running_(mean|var)$",)
 
     def __init__(self, config: ResNetCLIPConfig, num_frames: int = 4,
                  dtype=jnp.float32, tokenizer=None,
@@ -97,6 +104,7 @@ class ResNetClipVideoTextEncoder(ClipVideoTextEncoder):
         # come from the ResNet config.
         self.config = config
         self.model = ResNetCLIPModel(config, dtype=dtype)
+        self.train_model = ResNetCLIPModel(config, dtype=dtype, train_bn=True)
         self.num_frames = num_frames
         self._tokenizer = tokenizer
         self._bpe_path = bpe_path
@@ -121,19 +129,56 @@ class ResNetClipVideoTextEncoder(ClipVideoTextEncoder):
                                jnp.zeros((1, self.config.text.context_length),
                                          jnp.int32))["params"]
 
-    def encode_video(self, params, video):
+    def _frames(self, video):
         if video.dtype == jnp.uint8:
             mean = jnp.asarray(self.preprocess.mean, jnp.float32) * 255.0
             inv_std = 1.0 / (jnp.asarray(self.preprocess.std, jnp.float32) * 255.0)
             video = (video.astype(jnp.float32) - mean) * inv_std
+        b, t = video.shape[0], video.shape[1]
+        return video.reshape(b * t, *video.shape[2:]), b, t
+
+    def encode_video(self, params, video):
         from fitclip_tpu.models.clip.encoder import l2_normalize
 
-        b, t = video.shape[0], video.shape[1]
-        frames = video.reshape(b * t, *video.shape[2:])
+        frames, b, t = self._frames(video)
         emb = self.model.apply({"params": params}, frames,
                                method=ResNetCLIPModel.encode_image)
         emb = l2_normalize(emb)
         return emb.reshape(b, t, -1).mean(axis=1)
+
+    def encode_video_train(self, params, video):
+        """Train-mode video encode: live batch-stats BN. Returns
+        (clip_embeddings, bn_stats_updates); pass the updates (possibly from
+        inside a grad — they carry stop_gradient) to ``apply_bn_updates``."""
+        from fitclip_tpu.models.clip.encoder import l2_normalize
+
+        frames, b, t = self._frames(video)
+        emb, mutated = self.train_model.apply(
+            {"params": params}, frames, method=ResNetCLIPModel.encode_image,
+            mutable=["bn_stats"])
+        emb = l2_normalize(emb)
+        return emb.reshape(b, t, -1).mean(axis=1), mutated["bn_stats"]
+
+    @staticmethod
+    def apply_bn_updates(params, bn_updates):
+        """Merge sown EMA running stats back into the parameter tree. The
+        bn_stats tree mirrors the module nesting with {"mean": (arr,),
+        "var": (arr,)} leaves at each BatchNorm node."""
+        if bn_updates is None:
+            return params
+
+        def merge(p_node, u_node):
+            out = dict(p_node)
+            for key, update in u_node.items():
+                if key == "mean":
+                    out["running_mean"] = update[0]
+                elif key == "var":
+                    out["running_var"] = update[0]
+                else:
+                    out[key] = merge(p_node[key], update)
+            return out
+
+        return merge(params, bn_updates)
 
     def encode_text(self, params, text):
         from fitclip_tpu.models.clip.encoder import l2_normalize

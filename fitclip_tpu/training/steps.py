@@ -34,20 +34,53 @@ def _scores(video_emb, text_emb, logit_scale):
         precision=PRECISION)
 
 
+def _encode_video_train(encoder, params, video):
+    """Train-mode video encode. Encoders with normalization state (the
+    batch-stats BN CLIP ResNets) return (emb, bn_updates); stateless encoders
+    return (emb, None). The hasattr dispatch is static per encoder type, so
+    the jitted step specializes with no runtime branch."""
+    if hasattr(encoder, "encode_video_train"):
+        return encoder.encode_video_train(params, video)
+    return encoder.encode_video(params, video), None
+
+
+def _merge_bn_updates(a, b):
+    """Average two bn_stats update trees (the teacher-student step encodes
+    two sub-batches; averaging their EMA targets equals one EMA step over the
+    combined batch statistics)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jax.tree_util.tree_map(lambda x, y: (x + y) / 2, a, b)
+
+
+def _apply_bn_updates(encoder, state: TrainState, bn_updates) -> TrainState:
+    if bn_updates is None:
+        return state
+    new_params = dict(state.params)
+    new_params["encoder"] = encoder.apply_bn_updates(new_params["encoder"],
+                                                     bn_updates)
+    return state.replace(params=new_params)
+
+
 def make_contrastive_train_step(encoder: VideoTextEncoder,
                                 optimizer: optax.GradientTransformation,
                                 loss_fn: Callable = nce_loss):
     """(state, batch{video, text}) -> (state, metrics)."""
 
     def loss(params, batch):
-        video_emb = encoder.encode_video(params["encoder"], batch["video"])
+        video_emb, bn_updates = _encode_video_train(encoder, params["encoder"],
+                                                    batch["video"])
         text_emb = encoder.encode_text(params["encoder"], batch["text"])
         scores = _scores(video_emb, text_emb, params["logit_scale"])
-        return loss_fn(scores)
+        return loss_fn(scores), bn_updates
 
     def step(state: TrainState, batch: Batch):
-        loss_value, grads = jax.value_and_grad(loss)(state.params, batch)
+        (loss_value, bn_updates), grads = jax.value_and_grad(loss, has_aux=True)(
+            state.params, batch)
         new_state = apply_updates_with_clamp(state, grads, optimizer)
+        new_state = _apply_bn_updates(encoder, new_state, bn_updates)
         metrics = {
             "loss/train": loss_value,
             "temperature": 1.0 / jnp.exp(new_state.params["logit_scale"][0]),
@@ -80,7 +113,8 @@ def make_teacher_student_train_step(
         ts_logit_scale = params["ts_logit_scale"]
 
         labeled = batch["labeled"]
-        video_emb = student.encode_video(params["encoder"], labeled["video_student"])
+        video_emb, bn_l = _encode_video_train(student, params["encoder"],
+                                              labeled["video_student"])
         text_emb = student.encode_text(params["encoder"], labeled["text_student"])
         labeled_loss = nce_loss(_scores(video_emb, text_emb, logit_scale))
 
@@ -89,7 +123,8 @@ def make_teacher_student_train_step(
                         else unlabeled["text_student"])
         teacher_text = (teacher_prompt_ids if teacher_prompt_ids is not None
                         else unlabeled["text_teacher"])
-        u_video = student.encode_video(params["encoder"], unlabeled["video_student"])
+        u_video, bn_u = _encode_video_train(student, params["encoder"],
+                                            unlabeled["video_student"])
         u_text = student.encode_text(params["encoder"], student_text)
         t_video = teacher.encode_video(teacher_params, unlabeled["video_teacher"])
         t_text = teacher.encode_text(teacher_params, teacher_text)
@@ -106,13 +141,15 @@ def make_teacher_student_train_step(
                           * ts_scale ** 2)
 
         total = labeled_loss_share * labeled_loss + unlabeled_loss_share * unlabeled_loss
-        return total, {"loss/train_labeled": labeled_loss,
-                       "loss/train_unlabeled": unlabeled_loss}
+        return total, ({"loss/train_labeled": labeled_loss,
+                        "loss/train_unlabeled": unlabeled_loss},
+                       _merge_bn_updates(bn_l, bn_u))
 
     def step(state: TrainState, teacher_params, batch: Batch):
-        (total, aux), grads = jax.value_and_grad(loss, has_aux=True)(
+        (total, (aux, bn_updates)), grads = jax.value_and_grad(loss, has_aux=True)(
             state.params, teacher_params, batch)
         new_state = apply_updates_with_clamp(state, grads, optimizer)
+        new_state = _apply_bn_updates(student, new_state, bn_updates)
         metrics = dict(aux)
         metrics["loss/train"] = total
         metrics["temperature/labeled"] = 1.0 / jnp.exp(new_state.params["logit_scale"][0])

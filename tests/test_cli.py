@@ -125,6 +125,30 @@ def test_run_train_contrastive_end_to_end(msrvtt_env, vocab_paths, tmp_path):
     assert any("r1" in line for line in lines)
 
 
+def test_run_train_resnet_end_to_end(msrvtt_env, vocab_paths, tmp_path):
+    """The CLIP-ResNet tower trains through the full CLI path: live
+    batch-stats BN in the step, EMA running-stat merge, optimizer-frozen
+    running stats (cli/train_runner.py bn_freeze_patterns)."""
+    cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
+                  ["command=train", "encoder=clip_rn50", "data=msrvtt",
+                   "+data.batch_size=1", "+data.num_threads=2",
+                   "data.eval_batch_size=4",
+                   "trainer.max_epochs=1", "optimizer.lr=1e-3",
+                   "trainer.log_every_n_steps=1",
+                   f"+log_dir={tmp_path}/logs",
+                   f"trainer.callbacks.checkpoint.dirpath={tmp_path}/ckpt",
+                   "trainer.callbacks.checkpoint.every_n_epochs=1"])
+    merges, vocab = vocab_paths
+    cfg["encoder"] = {
+        "_target_": "fitclip_tpu.models.clip.load.load_tiny_rn_test_encoder",
+        "bpe_path": merges, "vocab_path": vocab}
+    run(cfg)
+    assert os.path.isdir(str(tmp_path / "ckpt" / "last"))
+    lines = [json.loads(line)
+             for line in (tmp_path / "logs" / "metrics.jsonl").read_text().splitlines()]
+    assert any("loss/train" in line for line in lines)
+
+
 def test_has_val_propagates_loader_crashes():
     """A crashing val loader must raise, not silently disable validation
     (which would also disable best-checkpointing and early stopping)."""

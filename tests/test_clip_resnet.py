@@ -175,15 +175,22 @@ def test_resnet_clip_encoder_and_converter_roundtrip():
     assert encoder.preprocess.image_size == 64
 
 
-def test_resnet_encoder_refuses_training(tmp_path):
-    """Frozen-BN RN towers are eval-only; the train runner must say so
-    instead of silently optimizing frozen statistics."""
+def test_eval_only_encoder_refuses_training(tmp_path):
+    """SLIP towers are eval-only (as in the reference, whose SLIP wrapper
+    raises on train samplers); the train runner must say so. RN towers now
+    TRAIN (live batch-stats BN, tests/test_resnet_train.py) so they are no
+    longer refused."""
     import pytest as _pytest
 
     from fitclip_tpu.cli.train_runner import run_train
-    from fitclip_tpu.models.clip.load import load_clip_encoder
 
-    loaded = load_clip_encoder(name="RN50", num_frames=2)
+    class EvalOnly:
+        trainable = False
+
+    class Loaded:
+        encoder = EvalOnly()
+        params = {}
+
     with _pytest.raises(ValueError, match="evaluation-only"):
-        run_train(loaded, data_module=None, model_cfg={}, trainer_cfg={},
+        run_train(Loaded(), data_module=None, model_cfg={}, trainer_cfg={},
                   optimizer_cfg={})
