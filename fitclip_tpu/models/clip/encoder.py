@@ -35,12 +35,19 @@ class ClipVideoTextEncoder(VideoTextEncoder):
                  fused_attention: bool = False,
                  pixel_normalization_folded: bool = False,
                  quantized: bool = False,
+                 fused_block: Optional[bool] = None,
                  tokenizer: Optional[ClipTokenizer] = None,
                  bpe_path: Optional[str] = None) -> None:
         self.config = config or CLIPConfig.vit_b_16()
         # quantized = int8 W8A8 block denses (eval-only; ops/quant.py). The
         # params tree must then come from quantize_clip_params.
         self.quantized = quantized
+        # The production int8 config (quantized + fused attention) runs each
+        # transformer layer as ONE Pallas megakernel with VMEM-resident
+        # weights (ops/block.py); fused_block=False forces the separate-op
+        # QuantDense path instead.
+        self.fused_block = (bool(quantized) and fused_attention
+                            if fused_block is None else fused_block)
         self.model = CLIPModel(self.config, dtype=dtype, remat=remat,
                                fused_attention=fused_attention,
                                quantized=quantized)
@@ -84,8 +91,14 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         embedding's input. Float input is assumed already normalized."""
         b, t = video.shape[0], video.shape[1]
         frames = self._prepare_frames(video)
-        embeddings = self.model.apply({"params": params}, frames,
-                                      method=CLIPModel.encode_image)
+        if self.quantized and self.fused_block:
+            from fitclip_tpu.models.clip.fast_eval import encode_frames_int8
+
+            embeddings = encode_frames_int8(params, frames, self.config,
+                                            dtype=self.model.dtype)
+        else:
+            embeddings = self.model.apply({"params": params}, frames,
+                                          method=CLIPModel.encode_image)
         embeddings = l2_normalize(embeddings)
         return embeddings.reshape(b, t, -1).mean(axis=1)
 
@@ -128,6 +141,11 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         return apply_act_scales(params, intermediates, margin=margin)
 
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
+        if self.quantized and self.fused_block:
+            from fitclip_tpu.models.clip.fast_eval import encode_text_int8
+
+            return l2_normalize(encode_text_int8(params, text, self.config,
+                                                 dtype=self.model.dtype))
         embeddings = self.model.apply({"params": params}, text,
                                       method=CLIPModel.encode_text)
         return l2_normalize(embeddings)

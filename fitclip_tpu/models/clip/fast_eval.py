@@ -1,0 +1,89 @@
+"""Pure-jnp int8 eval forward for CLIP: one megakernel per transformer layer.
+
+Consumes the SAME quantized parameter tree as the flax CLIPModel
+(quantize_clip_params + calibration), but runs the transformer as a
+``jax.lax.scan`` over scan-stacked layer params with each layer executed by
+``ops/block.fused_int8_layer`` — a single Pallas kernel per layer with all
+weights VMEM-resident and no intermediate HBM round trips. This sidesteps
+flax module plumbing on the hot path so the kernel owns the whole block.
+
+Embedding math mirrors models/clip/model.py exactly (unfold patch embedding,
+fp32-stat LayerNorms, argmax-EOT text pooling); numeric agreement with the
+flax quantized path is asserted by tests/test_block_kernel.py and the on-TPU
+int8-vs-bf16 cosine gate in bench.py.
+"""
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from fitclip_tpu.models.clip.model import CLIPConfig
+from fitclip_tpu.ops.block import fused_int8_layer
+
+PRECISION = jax.lax.Precision.HIGHEST
+LN_EPS = 1e-5
+
+
+def _layer_norm(x, node, out_dtype):
+    """fp32-stat LayerNorm matching model.LayerNormFp32 (both variants keep
+    statistics and normalize arithmetic in fp32)."""
+    scale = node["ln"]["scale"].astype(jnp.float32)
+    bias = node["ln"]["bias"].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    centered = x32 - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    y = centered * jax.lax.rsqrt(var + LN_EPS)
+    return (y * scale + bias).astype(out_dtype)
+
+
+def _run_blocks(x, blocks: Dict[str, Any], heads: int, causal: bool,
+                quick_gelu: bool, block_rows: int):
+    def body(h, layer):
+        return fused_int8_layer(h, layer, heads, causal=causal,
+                                quick_gelu=quick_gelu,
+                                block_rows=block_rows), None
+
+    x, _ = jax.lax.scan(body, x, blocks)
+    return x
+
+
+def encode_frames_int8(params, frames: jnp.ndarray, config: CLIPConfig,
+                       dtype=jnp.bfloat16, block_rows: int = 1) -> jnp.ndarray:
+    """(N, H, W, 3) frames (uint8-folded or normalized floats) -> (N, D)."""
+    cfg = config.vision
+    v = params["visual"]
+    b = frames.shape[0]
+    g, p = cfg.grid_size, cfg.patch_size
+
+    x = frames.astype(dtype)
+    x = x.reshape(b, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, g * g, p * p * 3)
+    x = jnp.matmul(x, v["patch_embed"]["kernel"].astype(dtype),
+                   precision=PRECISION) + v["patch_embed"]["bias"].astype(dtype)
+
+    cls = jnp.broadcast_to(v["class_embedding"].astype(dtype), (b, 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + v["positional_embedding"].astype(dtype)
+
+    x = _layer_norm(x, v["ln_pre"], dtype)
+    x = _run_blocks(x, v["transformer"]["blocks"], cfg.heads, causal=False,
+                    quick_gelu=config.quick_gelu, block_rows=block_rows)
+    x = _layer_norm(x[:, 0], v["ln_post"], dtype)
+    return jnp.matmul(x, v["proj"].astype(dtype), precision=PRECISION)
+
+
+def encode_text_int8(params, input_ids: jnp.ndarray, config: CLIPConfig,
+                     dtype=jnp.bfloat16, block_rows: int = 1) -> jnp.ndarray:
+    """(B, context) int32 token ids -> (B, D); EOT = argmax id per row."""
+    cfg = config.text
+    t = params["text"]
+    x = t["token_embedding"][input_ids].astype(dtype)
+    x = x + t["positional_embedding"][: x.shape[1]].astype(dtype)
+    x = _run_blocks(x, t["transformer"]["blocks"], cfg.heads, causal=True,
+                    quick_gelu=config.quick_gelu, block_rows=block_rows)
+    x = _layer_norm(x, t["ln_final"], dtype)
+    eot = jnp.argmax(input_ids, axis=-1)
+    x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    return jnp.matmul(x, t["text_projection"].astype(dtype), precision=PRECISION)

@@ -57,7 +57,7 @@ def load_clip_encoder(name: str = "ViT-B/16",
                       num_frames: int = 4,
                       dtype: str = "float32",
                       remat: bool = False,
-                      fused_attention: bool = False,
+                      fused_attention: Optional[bool] = None,
                       bpe_path: Optional[str] = None,
                       seed: int = 0,
                       strip_prefix: Optional[str] = None) -> LoadedEncoder:
@@ -66,6 +66,12 @@ def load_clip_encoder(name: str = "ViT-B/16",
         load_torch_state_dict)
 
     from fitclip_tpu.models.clip.resnet_clip import RESNET_PRESETS
+
+    # Default the fast kernels by backend: the Pallas attention / int8 layer
+    # megakernel on TPU, the einsum path elsewhere (CPU tests would otherwise
+    # crawl through the Pallas interpreter at full model size).
+    if fused_attention is None:
+        fused_attention = jax.default_backend() == "tpu"
 
     state_dict = None
     if checkpoint_path:

@@ -1,0 +1,198 @@
+"""Whole-transformer-layer int8 megakernel (inference).
+
+One Pallas call per residual block: LN1 -> int8 QKV projection -> fused
+attention -> int8 out-projection -> residual -> LN2 -> int8 MLP (fc, QuickGELU,
+proj) -> residual. Rationale (v5e measurements, scripts/bench_attn_int8.py +
+BASELINE.md):
+
+- The separate-op int8 path round-trips every intermediate through HBM
+  (x_q, attn out, quantized MLP input, the 4W-wide MLP hidden). At ViT-B/16
+  eval shapes that is >1 GB of traffic per layer per 512 frames; the layer's
+  int8 matmuls only need ~4.5 ms, so the eltwise stages between them are
+  bandwidth, not compute.
+- Keeping the whole layer in VMEM leaves exactly one read (x) and one write
+  (y) of (B, L, W) bf16 per layer — everything else stays on-chip. Weights
+  (~7 MB int8 for ViT-B/16) are VMEM-resident across the batch grid via
+  constant index maps.
+- LayerNorm statistics, softmax, residuals and dequant epilogues run in fp32
+  (slightly better numerics than the separate-op path, which kept residuals
+  in bf16).
+
+The kernel is inference-only (static calibrated activation scales, no VJP) —
+training uses the float path in models/clip/model.py.
+
+Reference math being fused: aligner's CLIP blocks are torch
+``ResidualAttentionBlock`` (x + attn(ln_1(x)); x + mlp(ln_2(x)), QuickGELU) —
+see /root/reference/aligner/encoder/slip.py:350-396 for the vendored copy.
+"""
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fitclip_tpu.ops.quant import QUANT_EPS
+
+LN_EPS = 1e-5
+
+
+def _ln(x32, scale_ref, bias_ref):
+    """fp32 LayerNorm over the last axis; scale/bias are (1, W) refs."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    centered = x32 - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    normed = centered * jax.lax.rsqrt(var + LN_EPS)
+    return normed * scale_ref[...][0] + bias_ref[...][0]
+
+
+def _quant(x32, inv):
+    return jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+
+
+def _int8_dense(x_q, w_ref, scale_ref, bias_ref):
+    """int8 x int8 -> int32 on the MXU, fp32 dequant epilogue.
+    scale_ref already folds the activation scale (act/127 * w_scale)."""
+    acc = jax.lax.dot_general(
+        x_q, w_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * scale_ref[...][0] + bias_ref[...][0]
+
+
+def _attention_core(qkv, heads: int, scale: float, causal: bool, out_dtype):
+    """Packed multi-head attention on an in-VMEM (BB, L, 3W) qkv tensor.
+    Same layout strategy as ops/attention._packed_kernel: heads concatenated
+    along the batch axis, only K transposed, fp32 logits/softmax in VMEM."""
+    block_b, seq, triple_width = qkv.shape
+    width = triple_width // 3
+    head_dim = width // heads
+
+    def heads_along_batch(offset, transpose):
+        parts = [qkv[:, :, offset + h * head_dim:offset + (h + 1) * head_dim]
+                 for h in range(heads)]
+        if transpose:
+            parts = [part.swapaxes(1, 2) for part in parts]
+        return jnp.concatenate(parts, axis=0)
+
+    q = heads_along_batch(0, False) * jnp.asarray(scale, qkv.dtype)
+    k_t = heads_along_batch(width, True)
+    v = heads_along_batch(2 * width, False)
+    logits = jax.lax.dot_general(
+        q, k_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+        logits = jnp.where(col <= row, logits, jnp.finfo(jnp.float32).min)
+    peak = jnp.max(logits, axis=-1, keepdims=True)
+    exps = jnp.exp(logits - peak)
+    denom = jnp.sum(exps, axis=-1, keepdims=True)
+    weights = (exps / denom).astype(qkv.dtype)
+    out = jax.lax.dot_general(
+        weights, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    return jnp.concatenate(
+        [out[h * block_b:(h + 1) * block_b] for h in range(heads)],
+        axis=2).astype(out_dtype)
+
+
+def _layer_kernel(x_ref, invs_ref,
+                  ln1_s_ref, ln1_b_ref, wq_ref, qs_ref, qb_ref,
+                  wo_ref, os_ref, ob_ref,
+                  ln2_s_ref, ln2_b_ref, wf_ref, fs_ref, fb_ref,
+                  wp_ref, ps_ref, pb_ref, y_ref, *,
+                  heads: int, causal: bool, quick_gelu: bool):
+    x = x_ref[...]
+    x32 = x.astype(jnp.float32)
+    width = x.shape[-1]
+    head_dim = width // heads
+
+    # --- attention half ---
+    h1_q = _quant(_ln(x32, ln1_s_ref, ln1_b_ref), invs_ref[0, 0])
+    qkv = _int8_dense(h1_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
+    att = _attention_core(qkv, heads, head_dim ** -0.5, causal, jnp.float32)
+    att_q = _quant(att, invs_ref[0, 1])
+    x32 = x32 + _int8_dense(att_q, wo_ref, os_ref, ob_ref)
+
+    # --- MLP half ---
+    h2_q = _quant(_ln(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
+    h = _int8_dense(h2_q, wf_ref, fs_ref, fb_ref)
+    if quick_gelu:
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    h_q = _quant(h, invs_ref[0, 3])
+    x32 = x32 + _int8_dense(h_q, wp_ref, ps_ref, pb_ref)
+    y_ref[...] = x32.astype(y_ref.dtype)
+
+
+def _dense_operands(node: Dict[str, Any]):
+    """QuantDense param node -> (kernel_q, folded_out_scale (1, n), bias (1, n),
+    act_inv scalar). The static activation scale folds into both the quantize
+    multiplier and the dequant epilogue (ops/quant.int8_dense_static math)."""
+    act = jnp.maximum(node["act_scale"].astype(jnp.float32).reshape(()), QUANT_EPS)
+    out_scale = (act / 127.0) * node["scale"].astype(jnp.float32)
+    return (node["kernel_q"], out_scale.reshape(1, -1),
+            node["bias"].astype(jnp.float32).reshape(1, -1), 127.0 / act)
+
+
+def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
+                     causal: bool = False, quick_gelu: bool = True,
+                     block_rows: int = 1,
+                     interpret: Optional[bool] = None) -> jnp.ndarray:
+    """x (B, L, W) bf16 + one layer's param node (UNstacked: ln_1, attn.in_proj,
+    attn.out_proj, ln_2, mlp_fc, mlp_proj) -> (B, L, W) bf16.
+
+    Weight operands use constant index maps, so they are fetched to VMEM once
+    and stay resident across the batch grid."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, width = x.shape
+    block = block_rows
+    while batch % block:
+        block -= 1
+
+    wq, qs, qb, inv_q = _dense_operands(layer["attn"]["in_proj"])
+    wo, osc, ob, inv_o = _dense_operands(layer["attn"]["out_proj"])
+    wf, fs, fb, inv_f = _dense_operands(layer["mlp_fc"])
+    wp, ps, pb, inv_p = _dense_operands(layer["mlp_proj"])
+    invs = jnp.stack([inv_q, inv_o, inv_f, inv_p]).reshape(1, 4)
+
+    def ln_vec(name, leaf):
+        return layer[name]["ln"][leaf].astype(jnp.float32).reshape(1, -1)
+
+    operands = [
+        x, invs,
+        ln_vec("ln_1", "scale"), ln_vec("ln_1", "bias"), wq, qs, qb,
+        wo, osc, ob,
+        ln_vec("ln_2", "scale"), ln_vec("ln_2", "bias"), wf, fs, fb,
+        wp, ps, pb,
+    ]
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    smem = pltpu.ANY if interpret else pltpu.SMEM
+
+    def resident(arr):
+        """Full-array block with a constant index map: fetched once."""
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=memory_space)
+
+    in_specs = [pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                             memory_space=memory_space),
+                pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=smem)]
+    in_specs += [resident(op) for op in operands[2:]]
+
+    kernel = functools.partial(_layer_kernel, heads=heads, causal=causal,
+                               quick_gelu=quick_gelu)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, width), x.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(*operands)

@@ -194,6 +194,9 @@ def make_variant(mode: str, block: int):
                                    scale=HEAD_DIM ** -0.5, mode=mode)
         interpret = jax.default_backend() != "tpu"
         memory_space = pltpu.ANY if interpret else pltpu.VMEM
+        vmem_mb = int(os.environ.get("BENCH_ATTN_VMEM_MB", "0"))
+        params = (pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2 ** 20)
+                  if vmem_mb else None)
         return pl.pallas_call(
             kernel,
             grid=(batch // block,),
@@ -203,6 +206,7 @@ def make_variant(mode: str, block: int):
                                    memory_space=memory_space),
             out_shape=jax.ShapeDtypeStruct((batch, seq, width), qkv.dtype),
             interpret=interpret,
+            compiler_params=params,
         )(qkv)
 
     return run

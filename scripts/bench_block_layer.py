@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Ablation timing for the whole-layer int8 megakernel (ops/block.py).
+
+Times one ViT-B/16 layer at production shape (512 frames, L=197, W=768) with
+pieces toggled, to locate the in-kernel critical path (the kernel serializes
+VPU stages with MXU stages within a grid step):
+
+  full        the shipping kernel body
+  noattn      attention core replaced by a slice of qkv (isolates its cost)
+  nomlp       MLP half skipped
+  bf16gelu    GELU + h-quantize in bf16 instead of fp32
+  noquant     int8 denses fed a cheap cast instead of round/clip quantize
+  b2 / b4     block_rows sweep (with the 100MB VMEM budget)
+"""
+import argparse
+import functools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+FRAMES = int(os.environ.get("BENCH_BLOCK_FRAMES", "512"))
+SEQ = 197
+WIDTH = 768
+HEADS = 12
+
+
+def make_layer_params(rng):
+    import jax.numpy as jnp
+
+    def dense(n_in, n_out):
+        w = rng.normal(size=(n_in, n_out)).astype(np.float32) * 0.02
+        from fitclip_tpu.ops.quant import quantize_weight
+
+        q = quantize_weight(w)
+        return {"kernel_q": jnp.asarray(q["kernel_q"]),
+                "scale": jnp.asarray(q["scale"]),
+                "bias": jnp.asarray(rng.normal(size=n_out).astype(np.float32) * 0.01),
+                "act_scale": jnp.asarray(np.asarray([3.0], np.float32))}
+
+    def ln():
+        return {"ln": {"scale": jnp.asarray(np.ones(WIDTH, np.float32)),
+                       "bias": jnp.asarray(np.zeros(WIDTH, np.float32))}}
+
+    return {
+        "ln_1": ln(), "ln_2": ln(),
+        "attn": {"in_proj": dense(WIDTH, 3 * WIDTH),
+                 "out_proj": dense(WIDTH, WIDTH)},
+        "mlp_fc": dense(WIDTH, 4 * WIDTH),
+        "mlp_proj": dense(4 * WIDTH, WIDTH),
+    }
+
+
+def make_run(mode: str, block: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fitclip_tpu.ops.block import (_attention_core, _dense_operands,
+                                       _int8_dense, _ln, _quant)
+
+    def kernel(x_ref, invs_ref,
+               ln1_s_ref, ln1_b_ref, wq_ref, qs_ref, qb_ref,
+               wo_ref, os_ref, ob_ref,
+               ln2_s_ref, ln2_b_ref, wf_ref, fs_ref, fb_ref,
+               wp_ref, ps_ref, pb_ref, y_ref):
+        x = x_ref[...]
+        x32 = x.astype(jnp.float32)
+        width = x.shape[-1]
+        head_dim = width // HEADS
+
+        def quant(v32, inv):
+            if mode == "noquant":
+                return v32.astype(jnp.int8)
+            return _quant(v32, inv)
+
+        h1_q = quant(_ln(x32, ln1_s_ref, ln1_b_ref), invs_ref[0, 0])
+        qkv = _int8_dense(h1_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
+        if mode == "noattn":
+            att = qkv[:, :, :width].astype(jnp.float32)
+        else:
+            att = _attention_core(qkv, HEADS, head_dim ** -0.5, False,
+                                  jnp.float32)
+        att_q = quant(att, invs_ref[0, 1])
+        x32 = x32 + _int8_dense(att_q, wo_ref, os_ref, ob_ref)
+
+        if mode != "nomlp":
+            h2_q = quant(_ln(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
+            if mode == "bf16gelu":
+                h = _int8_dense(h2_q, wf_ref, fs_ref, fb_ref).astype(jnp.bfloat16)
+                h = h * jax.nn.sigmoid(1.702 * h)
+                h_q = jnp.clip(jnp.round(h * invs_ref[0, 3].astype(jnp.bfloat16)),
+                               -127, 127).astype(jnp.int8)
+            else:
+                h = _int8_dense(h2_q, wf_ref, fs_ref, fb_ref)
+                h = h * jax.nn.sigmoid(1.702 * h)
+                h_q = quant(h, invs_ref[0, 3])
+            x32 = x32 + _int8_dense(h_q, wp_ref, ps_ref, pb_ref)
+        y_ref[...] = x32.astype(y_ref.dtype)
+
+    def run(x, layer):
+        batch, seq, width = x.shape
+        wq, qs, qb, inv_q = _dense_operands(layer["attn"]["in_proj"])
+        wo, osc, ob, inv_o = _dense_operands(layer["attn"]["out_proj"])
+        wf, fs, fb, inv_f = _dense_operands(layer["mlp_fc"])
+        wp, ps, pb, inv_p = _dense_operands(layer["mlp_proj"])
+        invs = jnp.stack([inv_q, inv_o, inv_f, inv_p]).reshape(1, 4)
+
+        def ln_vec(name, leaf):
+            return layer[name]["ln"][leaf].astype(jnp.float32).reshape(1, -1)
+
+        operands = [x, invs,
+                    ln_vec("ln_1", "scale"), ln_vec("ln_1", "bias"), wq, qs, qb,
+                    wo, osc, ob,
+                    ln_vec("ln_2", "scale"), ln_vec("ln_2", "bias"), wf, fs, fb,
+                    wp, ps, pb]
+        interpret = jax.default_backend() != "tpu"
+        memory_space = pltpu.ANY if interpret else pltpu.VMEM
+        smem = pltpu.ANY if interpret else pltpu.SMEM
+
+        def resident(arr):
+            return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                memory_space=memory_space)
+
+        in_specs = [pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                                 memory_space=memory_space),
+                    pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=smem)]
+        in_specs += [resident(op) for op in operands[2:]]
+        return pl.pallas_call(
+            kernel,
+            grid=(batch // block,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                                   memory_space=memory_space),
+            out_shape=jax.ShapeDtypeStruct((batch, seq, width), x.dtype),
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20),
+        )(*operands)
+
+    return run
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.utils.benchmarking import sustained_seconds_per_step
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cases", default="full,noattn,nomlp,bf16gelu,noquant")
+    parser.add_argument("--block", type=int, default=1)
+    args = parser.parse_args()
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(FRAMES, SEQ, WIDTH)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+    layer = make_layer_params(rng)
+
+    # fp-equivalent FLOPs of the full layer (proj + core + mlp).
+    dense_gf = 2 * FRAMES * SEQ * WIDTH * (3 * WIDTH + WIDTH + 8 * WIDTH) / 1e9
+    core_gf = 2 * 2 * FRAMES * SEQ * SEQ * WIDTH / 1e9
+
+    for case in args.cases.split(","):
+        mode, block = case, args.block
+        if case.startswith("b") and case[1:].isdigit():
+            mode, block = "full", int(case[1:])
+        run = make_run(mode, block)
+
+        @jax.jit
+        def chain(steps, x, layer):
+            def body(i, carry):
+                out = run(x * (1.0 + carry * 1e-6).astype(x.dtype), layer)
+                return carry + (jnp.abs(out).sum() > 0).astype(jnp.float32)
+            return jax.lax.fori_loop(0, steps, body, jnp.float32(0.0))
+
+        seconds = sustained_seconds_per_step(
+            lambda s: chain(jnp.int32(s), x, layer))
+        gf = dense_gf + core_gf
+        print(json.dumps({"case": case, "block": block,
+                          "ms": round(seconds * 1e3, 3),
+                          "tflops_fp_equiv": round(gf / seconds / 1e3, 1)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

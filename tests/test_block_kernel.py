@@ -1,0 +1,80 @@
+"""Whole-layer int8 megakernel (ops/block.py + models/clip/fast_eval.py):
+must match the flax QuantDense separate-op path on the same quantized params
+(interpreter lowering; the real-TPU check is bench.py's int8-vs-bf16 gate).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fitclip_tpu.models.clip import CLIPConfig, CLIPModel
+from fitclip_tpu.ops.quant import apply_act_scales, quantize_clip_params
+
+
+@pytest.fixture(scope="module")
+def quantized_setup():
+    config = CLIPConfig.tiny_test()
+    model = CLIPModel(config)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                        jnp.zeros((1, 16), jnp.int32))["params"]
+    qparams = quantize_clip_params(params)
+    rng = np.random.default_rng(9)
+    images = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 60, size=(8, 16)).astype(np.int32))
+    dyn = CLIPModel(config, quantized="dynamic")
+    _, s_img = dyn.apply({"params": qparams}, images,
+                         method=CLIPModel.encode_image, mutable=["intermediates"])
+    _, s_txt = dyn.apply({"params": qparams}, ids,
+                         method=CLIPModel.encode_text, mutable=["intermediates"])
+    inter = dict(s_img["intermediates"])
+    inter.update(dict(s_txt["intermediates"]))
+    qparams = apply_act_scales(qparams, inter)
+    return config, model, params, qparams
+
+
+def _cosine(a, b):
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    return (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+
+
+def test_megakernel_matches_separate_op_path(quantized_setup):
+    from fitclip_tpu.models.clip.fast_eval import (encode_frames_int8,
+                                                   encode_text_int8)
+
+    config, model, params, qparams = quantized_setup
+    qmodel = CLIPModel(config, quantized=True)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 60, size=(4, 16)).astype(np.int32))
+
+    img_ref, txt_ref = qmodel.apply({"params": qparams}, images, ids)
+    img_fast = encode_frames_int8(qparams, images, config, dtype=jnp.float32)
+    txt_fast = encode_text_int8(qparams, ids, config, dtype=jnp.float32)
+
+    np.testing.assert_allclose(np.asarray(img_fast, np.float32),
+                               np.asarray(img_ref, np.float32),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(txt_fast, np.float32),
+                               np.asarray(txt_ref, np.float32),
+                               atol=2e-3, rtol=2e-3)
+
+    # And the float-model cosine gate holds through the megakernel too.
+    img_f, txt_f = model.apply({"params": params}, images, ids)
+    assert _cosine(img_f, img_fast).min() >= 0.999
+    assert _cosine(txt_f, txt_fast).min() >= 0.999
+
+
+def test_megakernel_block_rows_divisor(quantized_setup):
+    """block_rows that does not divide the batch falls back to a divisor."""
+    from fitclip_tpu.models.clip.fast_eval import encode_frames_int8
+
+    config, _, _, qparams = quantized_setup
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    out1 = encode_frames_int8(qparams, images, config, dtype=jnp.float32,
+                              block_rows=2)
+    out3 = encode_frames_int8(qparams, images, config, dtype=jnp.float32,
+                              block_rows=3)
+    np.testing.assert_allclose(np.asarray(out1, np.float32),
+                               np.asarray(out3, np.float32), atol=2e-5)
