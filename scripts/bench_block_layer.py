@@ -67,7 +67,7 @@ def make_run(mode: str, block: int):
                ln1_s_ref, ln1_b_ref, wq_ref, qs_ref, qb_ref,
                wo_ref, os_ref, ob_ref,
                ln2_s_ref, ln2_b_ref, wf_ref, fs_ref, fb_ref,
-               wp_ref, ps_ref, pb_ref, y_ref):
+               wp_ref, ps_ref, pb_ref, fsb_ref, fbb_ref, invfb_ref, y_ref):
         x = x_ref[...]
         x32 = x.astype(jnp.float32)
         width = x.shape[-1]
@@ -82,6 +82,75 @@ def make_run(mode: str, block: int):
         qkv = _int8_dense(h1_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
         if mode == "noattn":
             att = qkv[:, :, :width].astype(jnp.float32)
+        elif mode == "headloop":
+            # Per-head attention without the pack/concat: each head's q/k/v
+            # is a 64-lane slice, softmax runs per head, and outputs land in
+            # their own lane slice of the accumulator.
+            scale_q = jnp.asarray(head_dim ** -0.5, qkv.dtype)
+            parts = []
+            for h in range(HEADS):
+                qh = qkv[:, :, h * head_dim:(h + 1) * head_dim] * scale_q
+                kh = qkv[:, :, width + h * head_dim:width + (h + 1) * head_dim]
+                vh = qkv[:, :, 2 * width + h * head_dim:
+                         2 * width + (h + 1) * head_dim]
+                logits = jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                peak = jnp.max(logits, axis=-1, keepdims=True)
+                exps = jnp.exp(logits - peak)
+                denom = jnp.sum(exps, axis=-1, keepdims=True)
+                w = (exps / denom).astype(vh.dtype)
+                parts.append(jax.lax.dot_general(
+                    w, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32))
+            att = jnp.concatenate(parts, axis=2)
+        elif mode == "opt":
+            # headloop + per-head int8 requant of the attention output (the
+            # concat then moves int8, half the bytes, and out_proj consumes
+            # it directly with no separate quantize pass).
+            scale_q = jnp.asarray(head_dim ** -0.5, qkv.dtype)
+            inv_o = invs_ref[0, 1]
+            parts = []
+            for h in range(HEADS):
+                qh = qkv[:, :, h * head_dim:(h + 1) * head_dim] * scale_q
+                kh = qkv[:, :, width + h * head_dim:width + (h + 1) * head_dim]
+                vh = qkv[:, :, 2 * width + h * head_dim:
+                         2 * width + (h + 1) * head_dim]
+                logits = jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                peak = jnp.max(logits, axis=-1, keepdims=True)
+                exps = jnp.exp(logits - peak)
+                denom = jnp.sum(exps, axis=-1, keepdims=True)
+                w = (exps / denom).astype(vh.dtype)
+                part = jax.lax.dot_general(
+                    w, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                parts.append(jnp.clip(jnp.round(part * inv_o), -127, 127)
+                             .astype(jnp.int8))
+            att_q8 = jnp.concatenate(parts, axis=2)
+            x32 = x32 + _int8_dense(att_q8, wo_ref, os_ref, ob_ref)
+            h2_q = quant(_ln(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
+            acc = jax.lax.dot_general(
+                h2_q, wf_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            h = acc.astype(jnp.bfloat16) * fsb_ref[...][0] + fbb_ref[...][0]
+            one = jnp.full((1, 1, 1), 1.0, jnp.bfloat16)
+            coef = jnp.full((1, 1, 1), 1.702, jnp.bfloat16)
+            h = h * (one / (one + jnp.exp(-coef * h)))
+            h_q = jnp.clip(jnp.round((h * invfb_ref[...][0])
+                                     .astype(jnp.float32)),
+                           -127, 127).astype(jnp.int8)
+            x32 = x32 + _int8_dense(h_q, wp_ref, ps_ref, pb_ref)
+            y_ref[...] = x32.astype(y_ref.dtype)
+            return
+        elif mode == "b2split":
+            # block_rows=2 for the denses (395-row matmuls) but the
+            # attention core per frame, halving its live VMEM.
+            att = jnp.concatenate(
+                [_attention_core(qkv[i:i + 1], HEADS, head_dim ** -0.5,
+                                 False, jnp.float32)
+                 for i in range(qkv.shape[0])], axis=0)
         else:
             att = _attention_core(qkv, HEADS, head_dim ** -0.5, False,
                                   jnp.float32)
@@ -91,9 +160,24 @@ def make_run(mode: str, block: int):
         if mode != "nomlp":
             h2_q = quant(_ln(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
             if mode == "bf16gelu":
-                h = _int8_dense(h2_q, wf_ref, fs_ref, fb_ref).astype(jnp.bfloat16)
-                h = h * jax.nn.sigmoid(1.702 * h)
-                h_q = jnp.clip(jnp.round(h * invs_ref[0, 3].astype(jnp.bfloat16)),
+                # Whole fc epilogue in bf16: int32 acc -> bf16 dequant (pre-cast
+                # bf16 scale/bias vectors) -> bf16 QuickGELU -> bf16 requant
+                # (pre-cast (1,1) bf16 inv). No fp32 pass over (L, 4W).
+                acc = jax.lax.dot_general(
+                    h2_q, wf_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                h = acc.astype(jnp.bfloat16) * fsb_ref[...][0] + fbb_ref[...][0]
+                # Explicit bf16 logistic: jax.nn.sigmoid lowers its constants
+                # as f32, tripping Mosaic's same-type broadcast verifier.
+                one = jnp.full((1, 1, 1), 1.0, jnp.bfloat16)
+                coef = jnp.full((1, 1, 1), 1.702, jnp.bfloat16)
+                h = h * (one / (one + jnp.exp(-coef * h)))
+                # Lane-wide inv vector: a (1,1,1) scalar would need a
+                # sublane+lane double broadcast, unimplemented in Mosaic.
+                # The round itself must be f32 (math.roundeven has no bf16
+                # legalization) — one f32 pass instead of three.
+                h_q = jnp.clip(jnp.round((h * invfb_ref[...][0])
+                                         .astype(jnp.float32)),
                                -127, 127).astype(jnp.int8)
             else:
                 h = _int8_dense(h2_q, wf_ref, fs_ref, fb_ref)
@@ -117,7 +201,9 @@ def make_run(mode: str, block: int):
                     ln_vec("ln_1", "scale"), ln_vec("ln_1", "bias"), wq, qs, qb,
                     wo, osc, ob,
                     ln_vec("ln_2", "scale"), ln_vec("ln_2", "bias"), wf, fs, fb,
-                    wp, ps, pb]
+                    wp, ps, pb,
+                    fs.astype(jnp.bfloat16), fb.astype(jnp.bfloat16),
+                    jnp.full((1, 4 * WIDTH), inv_f, jnp.bfloat16)]
         interpret = jax.default_backend() != "tpu"
         memory_space = pltpu.ANY if interpret else pltpu.VMEM
         smem = pltpu.ANY if interpret else pltpu.SMEM
@@ -169,6 +255,8 @@ def main() -> None:
         mode, block = case, args.block
         if case.startswith("b") and case[1:].isdigit():
             mode, block = "full", int(case[1:])
+        elif case == "b2split":
+            block = 2
         run = make_run(mode, block)
 
         @jax.jit
