@@ -88,10 +88,14 @@ def main() -> None:
         bench_params = quantize_clip_params(params)
         bench_params = encoder.calibrate(bench_params, video[:8], calib_text)
         bench_params = jax.device_put(bench_params)
-        # Gate 2: int8 vs bf16 embedding parity on the real chip.
+        # Gate 2: int8 vs bf16 embedding parity on the real chip — video
+        # (non-causal megakernel) AND text (causal megakernel).
         int8_emb = jax.jit(encoder.encode_video)(bench_params, small)
         gate2 = cosine(int8_emb, bf16_emb)
         assert gate2 > 0.999, f"int8-vs-bf16 TPU mismatch: {gate2}"
+        gate2t = cosine(jax.jit(encoder.encode_text)(bench_params, text_small),
+                        jax.jit(bf16_encoder.encode_text)(params, text_small))
+        assert gate2t > 0.999, f"int8-vs-bf16 text TPU mismatch: {gate2t}"
     else:
         encoder = bf16_encoder
         bench_params = jax.device_put(params)

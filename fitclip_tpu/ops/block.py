@@ -188,6 +188,10 @@ def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
 
     kernel = functools.partial(_layer_kernel, heads=heads, causal=causal,
                                quick_gelu=quick_gelu)
+    # x aliases y: block i's output overwrites block i's input after the read
+    # (same index map), letting the layer scan keep ONE carry buffer instead
+    # of copying (B, L, W) every layer (profiled at ~0.5 ms/layer at ViT-B/16
+    # eval shapes). Callers must treat x as donated.
     return pl.pallas_call(
         kernel,
         grid=(batch // block,),
@@ -196,6 +200,7 @@ def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
                                memory_space=memory_space),
         out_shape=jax.ShapeDtypeStruct((batch, seq, width), x.dtype),
         interpret=interpret,
+        input_output_aliases={0: 0},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
     )(*operands)

@@ -78,7 +78,19 @@ def make_run(mode: str, block: int):
                 return v32.astype(jnp.int8)
             return _quant(v32, inv)
 
-        h1_q = quant(_ln(x32, ln1_s_ref, ln1_b_ref), invs_ref[0, 0])
+        def ln_quant(x32_in, s_ref, b_ref, inv):
+            """LN with the quantize multiplier folded into the affine: one
+            multiply pass fewer over the (L, W) tensor."""
+            if mode != "lnfold":
+                return quant(_ln(x32_in, s_ref, b_ref), inv)
+            mean = jnp.mean(x32_in, axis=-1, keepdims=True)
+            centered = x32_in - mean
+            var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+            normed = centered * jax.lax.rsqrt(var + 1e-5)
+            scaled = normed * (s_ref[...][0] * inv) + b_ref[...][0] * inv
+            return jnp.clip(jnp.round(scaled), -127, 127).astype(jnp.int8)
+
+        h1_q = ln_quant(x32, ln1_s_ref, ln1_b_ref, invs_ref[0, 0])
         qkv = _int8_dense(h1_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
         if mode == "noattn":
             att = qkv[:, :, :width].astype(jnp.float32)
@@ -144,6 +156,49 @@ def make_run(mode: str, block: int):
             x32 = x32 + _int8_dense(h_q, wp_ref, ps_ref, pb_ref)
             y_ref[...] = x32.astype(y_ref.dtype)
             return
+        elif mode == "softsub":
+            # Per-head with TRANSPOSED logits: QK^T computed as (S, L) so the
+            # softmax reduces over SUBLANES; AV contracts sublanes x sublanes.
+            # Zero transposes anywhere.
+            scale_q = jnp.asarray(head_dim ** -0.5, qkv.dtype)
+            parts = []
+            for h in range(HEADS):
+                qh = qkv[:, :, h * head_dim:(h + 1) * head_dim] * scale_q
+                kh = qkv[:, :, width + h * head_dim:width + (h + 1) * head_dim]
+                vh = qkv[:, :, 2 * width + h * head_dim:
+                         2 * width + (h + 1) * head_dim]
+                logits_t = jax.lax.dot_general(
+                    kh, qh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (BB, S, L)
+                peak = jnp.max(logits_t, axis=1, keepdims=True)
+                exps = jnp.exp(logits_t - peak)
+                denom = jnp.sum(exps, axis=1, keepdims=True)
+                w_t = (exps / denom).astype(vh.dtype)
+                parts.append(jax.lax.dot_general(
+                    w_t, vh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32))  # (BB, L, D)
+            att = jnp.concatenate(parts, axis=2)
+        elif mode == "nomax":
+            # Softmax without the max-subtraction pass: CLIP attention logits
+            # (LN'd inputs, scaled by D^-0.5) stay far below fp32 exp
+            # overflow (~88). Saves one full reduction over the logits.
+            scale_q = jnp.asarray(head_dim ** -0.5, qkv.dtype)
+            parts = []
+            for h in range(HEADS):
+                qh = qkv[:, :, h * head_dim:(h + 1) * head_dim] * scale_q
+                kh = qkv[:, :, width + h * head_dim:width + (h + 1) * head_dim]
+                vh = qkv[:, :, 2 * width + h * head_dim:
+                         2 * width + (h + 1) * head_dim]
+                logits = jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                exps = jnp.exp(logits)
+                denom = jnp.sum(exps, axis=-1, keepdims=True)
+                w = (exps / denom).astype(vh.dtype)
+                parts.append(jax.lax.dot_general(
+                    w, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32))
+            att = jnp.concatenate(parts, axis=2)
         elif mode == "b2split":
             # block_rows=2 for the denses (395-row matmuls) but the
             # attention core per frame, halving its live VMEM.
@@ -158,7 +213,7 @@ def make_run(mode: str, block: int):
         x32 = x32 + _int8_dense(att_q, wo_ref, os_ref, ob_ref)
 
         if mode != "nomlp":
-            h2_q = quant(_ln(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
+            h2_q = ln_quant(x32, ln2_s_ref, ln2_b_ref, invs_ref[0, 2])
             if mode == "bf16gelu":
                 # Whole fc epilogue in bf16: int32 acc -> bf16 dequant (pre-cast
                 # bf16 scale/bias vectors) -> bf16 QuickGELU -> bf16 requant
@@ -216,6 +271,7 @@ def make_run(mode: str, block: int):
                                  memory_space=memory_space),
                     pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=smem)]
         in_specs += [resident(op) for op in operands[2:]]
+        aliases = {0: 0} if os.environ.get("BENCH_BLOCK_ALIAS") else {}
         return pl.pallas_call(
             kernel,
             grid=(batch // block,),
@@ -224,6 +280,7 @@ def make_run(mode: str, block: int):
                                    memory_space=memory_space),
             out_shape=jax.ShapeDtypeStruct((batch, seq, width), x.dtype),
             interpret=interpret,
+            input_output_aliases=aliases,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2 ** 20),
         )(*operands)
@@ -257,6 +314,8 @@ def main() -> None:
             mode, block = "full", int(case[1:])
         elif case == "b2split":
             block = 2
+        elif case == "alias":
+            mode = "full"
         run = make_run(mode, block)
 
         @jax.jit
