@@ -97,8 +97,16 @@ def main() -> None:
                         jax.jit(bf16_encoder.encode_text)(params, text_small))
         assert gate2t > 0.999, f"int8-vs-bf16 text TPU mismatch: {gate2t}"
     else:
-        encoder = bf16_encoder
+        # Timed bf16 config = the float whole-layer megakernel (weights
+        # VMEM-resident, carry aliased); gate 3 pins it to the flax path.
+        encoder = ClipVideoTextEncoder(CLIPConfig.vit_b_16(), num_frames=4,
+                                       dtype=jnp.bfloat16, fused_attention=True,
+                                       pixel_normalization_folded=True,
+                                       fused_block=True)
         bench_params = jax.device_put(params)
+        gate3 = cosine(jax.jit(encoder.encode_video)(bench_params, small),
+                       bf16_emb)
+        assert gate3 > 0.999, f"bf16 megakernel-vs-flax TPU mismatch: {gate3}"
 
     @jax.jit
     def chain(params, video, steps):

@@ -94,6 +94,11 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
             raise ValueError(
                 f"{type(enc).__name__} is evaluation-only (eval-form weights/int8); "
                 "fine-tune a ViT CLIP encoder instead (e.g. encoder=clip_vit_b_16)")
+        if getattr(enc, "fused_block", False):
+            raise ValueError(
+                f"{type(enc).__name__} was built with fused_block (the inference "
+                "layer megakernel, which has no gradient path); rebuild with "
+                "++encoder.fused_block=false to train")
         bn_freeze_patterns.extend(getattr(enc, "bn_freeze_patterns", ()))
 
     init_temperature = float(model_cfg.get("init_temperature", 0.05))

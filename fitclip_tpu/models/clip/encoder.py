@@ -45,7 +45,8 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         # The production int8 config (quantized + fused attention) runs each
         # transformer layer as ONE Pallas megakernel with VMEM-resident
         # weights (ops/block.py); fused_block=False forces the separate-op
-        # QuantDense path instead.
+        # QuantDense path instead. fused_block=True on a FLOAT encoder opts
+        # into the bf16 layer megakernel — inference only (no gradient path).
         self.fused_block = (bool(quantized) and fused_attention
                             if fused_block is None else fused_block)
         self.model = CLIPModel(self.config, dtype=dtype, remat=remat,
@@ -91,7 +92,7 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         embedding's input. Float input is assumed already normalized."""
         b, t = video.shape[0], video.shape[1]
         frames = self._prepare_frames(video)
-        if self.quantized and self.fused_block:
+        if self.fused_block:
             from fitclip_tpu.models.clip.fast_eval import encode_frames_int8
 
             embeddings = encode_frames_int8(params, frames, self.config,
@@ -141,7 +142,7 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         return apply_act_scales(params, intermediates, margin=margin)
 
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
-        if self.quantized and self.fused_block:
+        if self.fused_block:
             from fitclip_tpu.models.clip.fast_eval import encode_text_int8
 
             return l2_normalize(encode_text_int8(params, text, self.config,

@@ -1,11 +1,13 @@
-"""Pure-jnp int8 eval forward for CLIP: one megakernel per transformer layer.
+"""Pure-jnp eval forward for CLIP: one megakernel per transformer layer.
 
-Consumes the SAME quantized parameter tree as the flax CLIPModel
-(quantize_clip_params + calibration), but runs the transformer as a
-``jax.lax.scan`` over scan-stacked layer params with each layer executed by
-``ops/block.fused_int8_layer`` — a single Pallas kernel per layer with all
-weights VMEM-resident and no intermediate HBM round trips. This sidesteps
-flax module plumbing on the hot path so the kernel owns the whole block.
+Consumes the SAME parameter trees as the flax CLIPModel — the int8 tree from
+quantize_clip_params (+ calibration) or the plain float tree — and runs the
+transformer as a ``jax.lax.scan`` over scan-stacked layer params with each
+layer executed by ONE Pallas kernel (``ops/block.fused_int8_layer`` or its
+float twin ``fused_bf16_layer``, chosen by the tree's leaves): all weights
+VMEM-resident, the carry aliased in place, no intermediate HBM round trips.
+This sidesteps flax module plumbing on the hot path so the kernel owns the
+whole block. Inference-only — the layer kernels define no VJP.
 
 Embedding math mirrors models/clip/model.py exactly (unfold patch embedding,
 fp32-stat LayerNorms, argmax-EOT text pooling); numeric agreement with the
@@ -19,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from fitclip_tpu.models.clip.model import CLIPConfig
-from fitclip_tpu.ops.block import fused_int8_layer
+from fitclip_tpu.ops.block import fused_bf16_layer, fused_int8_layer
 
 PRECISION = jax.lax.Precision.HIGHEST
 LN_EPS = 1e-5
@@ -40,16 +42,20 @@ def _layer_norm(x, node, out_dtype):
 
 def _run_blocks(x, blocks: Dict[str, Any], heads: int, causal: bool,
                 quick_gelu: bool, block_rows: int):
+    # Quantized trees carry kernel_q leaves; float trees carry kernel.
+    layer_fn = (fused_int8_layer
+                if "kernel_q" in blocks["attn"]["in_proj"] else fused_bf16_layer)
+
     def body(h, layer):
-        return fused_int8_layer(h, layer, heads, causal=causal,
-                                quick_gelu=quick_gelu,
-                                block_rows=block_rows), None
+        return layer_fn(h, layer, heads, causal=causal,
+                        quick_gelu=quick_gelu,
+                        block_rows=block_rows), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     return x
 
 
-def encode_frames_int8(params, frames: jnp.ndarray, config: CLIPConfig,
+def encode_frames_fast(params, frames: jnp.ndarray, config: CLIPConfig,
                        dtype=jnp.bfloat16, block_rows: int = 1) -> jnp.ndarray:
     """(N, H, W, 3) frames (uint8-folded or normalized floats) -> (N, D)."""
     cfg = config.vision
@@ -80,7 +86,7 @@ def encode_frames_int8(params, frames: jnp.ndarray, config: CLIPConfig,
     return jnp.matmul(x, v["proj"].astype(dtype), precision=PRECISION)
 
 
-def encode_text_int8(params, input_ids: jnp.ndarray, config: CLIPConfig,
+def encode_text_fast(params, input_ids: jnp.ndarray, config: CLIPConfig,
                      dtype=jnp.bfloat16, block_rows: int = 1) -> jnp.ndarray:
     """(B, context) int32 token ids -> (B, D); EOT = argmax id per row."""
     cfg = config.text
@@ -93,3 +99,9 @@ def encode_text_int8(params, input_ids: jnp.ndarray, config: CLIPConfig,
     eot = jnp.argmax(input_ids, axis=-1)
     x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
     return jnp.matmul(x, t["text_projection"].astype(dtype), precision=PRECISION)
+
+
+# The fast path dispatches on the tree (int8 kernel_q vs float kernel);
+# the original names remain as aliases.
+encode_frames_int8 = encode_frames_fast
+encode_text_int8 = encode_text_fast

@@ -58,6 +58,7 @@ def load_clip_encoder(name: str = "ViT-B/16",
                       dtype: str = "float32",
                       remat: bool = False,
                       fused_attention: Optional[bool] = None,
+                      fused_block: Optional[bool] = None,
                       bpe_path: Optional[str] = None,
                       seed: int = 0,
                       strip_prefix: Optional[str] = None) -> LoadedEncoder:
@@ -103,6 +104,7 @@ def load_clip_encoder(name: str = "ViT-B/16",
                                    dtype=compute_dtype, remat=remat,
                                    fused_attention=fused_attention,
                                    quantized=quantized,
+                                   fused_block=fused_block,
                                    bpe_path=bpe_path)
     if state_dict is not None:
         params = clip_params_from_torch(state_dict, config)

@@ -131,6 +131,110 @@ def _layer_kernel(x_ref, invs_ref,
     y_ref[...] = x32.astype(y_ref.dtype)
 
 
+def _bf16_layer_kernel(x_ref,
+                       ln1_s_ref, ln1_b_ref, wq_ref, qb_ref,
+                       wo_ref, ob_ref,
+                       ln2_s_ref, ln2_b_ref, wf_ref, fb_ref,
+                       wp_ref, pb_ref, y_ref, *,
+                       heads: int, causal: bool, quick_gelu: bool):
+    """Float twin of _layer_kernel: same whole-layer fusion, plain matmuls in
+    the compute dtype with fp32 accumulation (weights are pre-cast operands,
+    VMEM-resident via constant index maps)."""
+    x = x_ref[...]
+    x32 = x.astype(jnp.float32)
+    width = x.shape[-1]
+    head_dim = width // heads
+
+    # Mosaic rejects Precision.HIGHEST on bf16 operands ("Bad lhs type" —
+    # it would request multi-pass emulation); only the fp32 interpret path
+    # needs it, to stop XLA:CPU splitting fp32 matmuls into bf16 passes.
+    precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+
+    def dense(h, w_ref, b_ref):
+        acc = jax.lax.dot_general(
+            h.astype(x.dtype), w_ref[...],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)
+        return acc + b_ref[...][0]
+
+    h1 = _ln(x32, ln1_s_ref, ln1_b_ref)
+    qkv = dense(h1, wq_ref, qb_ref).astype(x.dtype)
+    att = _attention_core(qkv, heads, head_dim ** -0.5, causal, jnp.float32)
+    x32 = x32 + dense(att, wo_ref, ob_ref)
+
+    h2 = _ln(x32, ln2_s_ref, ln2_b_ref)
+    h = dense(h2, wf_ref, fb_ref)
+    if quick_gelu:
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    x32 = x32 + dense(h, wp_ref, pb_ref)
+    y_ref[...] = x32.astype(y_ref.dtype)
+
+
+def fused_bf16_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
+                     causal: bool = False, quick_gelu: bool = True,
+                     block_rows: int = 1,
+                     interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Float-path whole-layer kernel: x (B, L, W) + one UNstacked float layer
+    node (ln_1, attn.in_proj/out_proj, ln_2, mlp_fc, mlp_proj with
+    kernel/bias leaves) -> (B, L, W). Weights are cast to x.dtype outside the
+    call and stay VMEM-resident across the batch grid. Inference-only (no
+    VJP) — training uses the flax path."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, width = x.shape
+    block = block_rows
+    while batch % block:
+        block -= 1
+
+    def w(node):
+        return node["kernel"].astype(x.dtype)
+
+    def b(node):
+        return node["bias"].astype(jnp.float32).reshape(1, -1)
+
+    def ln_vec(name, leaf):
+        return layer[name]["ln"][leaf].astype(jnp.float32).reshape(1, -1)
+
+    in_proj = layer["attn"]["in_proj"]
+    out_proj = layer["attn"]["out_proj"]
+    operands = [
+        x,
+        ln_vec("ln_1", "scale"), ln_vec("ln_1", "bias"),
+        w(in_proj), b(in_proj),
+        w(out_proj), b(out_proj),
+        ln_vec("ln_2", "scale"), ln_vec("ln_2", "bias"),
+        w(layer["mlp_fc"]), b(layer["mlp_fc"]),
+        w(layer["mlp_proj"]), b(layer["mlp_proj"]),
+    ]
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+
+    def resident(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=memory_space)
+
+    in_specs = [pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                             memory_space=memory_space)]
+    in_specs += [resident(op) for op in operands[1:]]
+
+    kernel = functools.partial(_bf16_layer_kernel, heads=heads, causal=causal,
+                               quick_gelu=quick_gelu)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, width), x.dtype),
+        interpret=interpret,
+        input_output_aliases={0: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(*operands)
+
+
 def _dense_operands(node: Dict[str, Any]):
     """QuantDense param node -> (kernel_q, folded_out_scale (1, n), bias (1, n),
     act_inv scalar). The static activation scale folds into both the quantize

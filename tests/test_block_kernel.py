@@ -65,6 +65,46 @@ def test_megakernel_matches_separate_op_path(quantized_setup):
     assert _cosine(txt_f, txt_fast).min() >= 0.999
 
 
+def test_float_megakernel_matches_flax(quantized_setup):
+    """The bf16/float whole-layer kernel (fused_bf16_layer) on the PLAIN float
+    param tree must match the flax float model."""
+    from fitclip_tpu.models.clip.fast_eval import (encode_frames_fast,
+                                                   encode_text_fast)
+
+    config, model, params, _ = quantized_setup
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 60, size=(4, 16)).astype(np.int32))
+
+    img_ref, txt_ref = model.apply({"params": params}, images, ids)
+    img_fast = encode_frames_fast(params, images, config, dtype=jnp.float32)
+    txt_fast = encode_text_fast(params, ids, config, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(img_fast, np.float32),
+                               np.asarray(img_ref, np.float32),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(txt_fast, np.float32),
+                               np.asarray(txt_ref, np.float32),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_float_fused_block_encoder_refused_for_training():
+    """fused_block encoders have no gradient path; the train runner says so."""
+    from fitclip_tpu.cli.train_runner import run_train
+    from fitclip_tpu.models.clip.encoder import ClipVideoTextEncoder
+
+    encoder = ClipVideoTextEncoder(CLIPConfig.tiny_test(), fused_block=True)
+
+    class Loaded:
+        pass
+
+    loaded = Loaded()
+    loaded.encoder = encoder
+    loaded.params = {}
+    with pytest.raises(ValueError, match="fused_block"):
+        run_train(loaded, data_module=None, model_cfg={}, trainer_cfg={},
+                  optimizer_cfg={})
+
+
 def test_megakernel_block_rows_divisor(quantized_setup):
     """block_rows that does not divide the batch falls back to a divisor."""
     from fitclip_tpu.models.clip.fast_eval import encode_frames_int8
