@@ -51,6 +51,23 @@ def _loaders_with_names(data_module, split: str = "val") -> List:
     return [(None, loaders)]
 
 
+def _shard_mapped(step, encoder, mesh, num_batch_args: int):
+    """Partition an encode step over the data mesh axis explicitly when the
+    encoder runs Pallas megakernels (fused_block): GSPMD cannot partition a
+    pallas_call, so under plain jit it all-gathers the batch and runs the
+    FULL kernel on every device (verified in HLO). shard_map runs the kernel
+    on each device's shard instead. Params replicate; batch args shard on
+    the leading axis (runners pad batches to mesh divisibility)."""
+    if not getattr(encoder, "fused_block", False) or mesh.devices.size == 1:
+        return step
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(step, mesh=mesh,
+                     in_specs=(P(),) + (P("data"),) * num_batch_args,
+                     out_specs=P("data"), check_rep=False)
+
+
 def _maybe_calibrate(encoder, params, video, text=None):
     """int8 encoders get their activation scales calibrated on the first REAL
     eval batch (post-training quantization on the true data distribution)."""
@@ -68,11 +85,12 @@ def run_retrieval_eval(loaded: LoadedEncoder, data_module,
     encoder = loaded.encoder
     params = jax.device_put(loaded.params, replicated(mesh))
 
-    @jax.jit
-    def eval_step(params, video, text):
+    def _eval_step(params, video, text):
         v = encoder.encode_video(params, video).astype(jnp.float32)
         t = encoder.encode_text(params, text).astype(jnp.float32)
         return v, t
+
+    eval_step = jax.jit(_shard_mapped(_eval_step, encoder, mesh, 2))
 
     results: Dict[str, float] = {}
     calibrated = not getattr(encoder, "quantized", False)
@@ -123,9 +141,9 @@ def run_classification_eval(loaded: LoadedEncoder, data_module, mesh=None,
 
     label_bank = encode_label_bank(encoder, params, tokenized, num_labels=len(labels))
 
-    @jax.jit
-    def encode_video(params, video):
-        return encoder.encode_video(params, video).astype(jnp.float32)
+    encode_video = jax.jit(_shard_mapped(
+        lambda params, video: encoder.encode_video(params, video).astype(jnp.float32),
+        encoder, mesh, 1))
 
     evaluator = ClassificationEvaluator(label_bank=label_bank, per_class=per_class)
     import itertools
@@ -152,10 +170,11 @@ def run_predict(loaded: LoadedEncoder, data_module, mesh=None,
     encoder = loaded.encoder
     params = jax.device_put(loaded.params, replicated(mesh))
 
-    @jax.jit
-    def eval_step(params, video, text):
-        return (encoder.encode_video(params, video).astype(jnp.float32),
-                encoder.encode_text(params, text).astype(jnp.float32))
+    eval_step = jax.jit(_shard_mapped(
+        lambda params, video, text: (
+            encoder.encode_video(params, video).astype(jnp.float32),
+            encoder.encode_text(params, text).astype(jnp.float32)),
+        encoder, mesh, 2))
 
     encoded_videos, encoded_texts, video_ids = [], [], []
     loaders = data_module.predict_dataloader()
@@ -187,11 +206,12 @@ def _run_predict_classification(loaded, data_module, mesh, output_path):
     tokenized = tokenize_label_bank(encoder, labels, data_module.templates)
     label_bank = encode_label_bank(encoder, params, tokenized, num_labels=len(labels))
 
-    @jax.jit
-    def predict_step(params, video):
+    def _predict_step(params, video):
         emb = encoder.encode_video(params, video).astype(jnp.float32)
         scores = jnp.matmul(emb, label_bank.astype(jnp.float32).T)
         return jnp.argmax(scores, axis=-1)
+
+    predict_step = jax.jit(_shard_mapped(_predict_step, encoder, mesh, 1))
 
     predictions_list, labels_list, video_ids = [], [], []
     loaders = data_module.predict_dataloader()
