@@ -132,6 +132,10 @@ def _forward_packed(qkv, heads: int, scale: float, causal: bool,
                                memory_space=memory_space),
         out_shape=jax.ShapeDtypeStruct((batch, seq, width), qkv.dtype),
         interpret=interpret,
+        # The packed all-heads logits exceed the default 16MB scoped budget
+        # at ViT-L/14@336 sequence length (577 -> 23.6MB fp32 per block row).
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
     )(qkv)
 
 

@@ -1,9 +1,9 @@
-"""Whole-transformer-layer int8 megakernel (inference).
+"""Whole-transformer-layer megakernels (inference): int8 W8A8 and a bf16 twin.
 
-One Pallas call per residual block: LN1 -> int8 QKV projection -> fused
-attention -> int8 out-projection -> residual -> LN2 -> int8 MLP (fc, QuickGELU,
-proj) -> residual. Rationale (v5e measurements, scripts/bench_attn_int8.py +
-BASELINE.md):
+One Pallas call per residual block: LN1 -> QKV projection -> per-head fused
+attention -> out-projection -> residual -> LN2 -> MLP (fc, QuickGELU, proj)
+-> residual. Rationale (v5e measurements, scripts/bench_attn_int8.py +
+scripts/bench_block_layer.py + BASELINE.md):
 
 - The separate-op int8 path round-trips every intermediate through HBM
   (x_q, attn out, quantized MLP input, the 4W-wide MLP hidden). At ViT-B/16
