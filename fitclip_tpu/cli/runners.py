@@ -60,12 +60,21 @@ def _shard_mapped(step, encoder, mesh, num_batch_args: int):
     the leading axis (runners pad batches to mesh divisibility)."""
     if not getattr(encoder, "fused_block", False) or mesh.devices.size == 1:
         return step
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map  # jax >= 0.8
 
-    return shard_map(step, mesh=mesh,
-                     in_specs=(P(),) + (P("data"),) * num_batch_args,
-                     out_specs=P("data"), check_rep=False)
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # annotation, which the default check rejects.
+        return shard_map(step, mesh=mesh,
+                         in_specs=(P(),) + (P("data"),) * num_batch_args,
+                         out_specs=P("data"), check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(step, mesh=mesh,
+                         in_specs=(P(),) + (P("data"),) * num_batch_args,
+                         out_specs=P("data"), check_rep=False)
 
 
 def _maybe_calibrate(encoder, params, video, text=None):

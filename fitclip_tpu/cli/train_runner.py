@@ -88,8 +88,16 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
     # CLIP ResNets) train, but their running statistics update by EMA through
     # the step, not by gradient — freeze them from the optimizer.
     bn_freeze_patterns = []
-    for loaded in (encoder_slot.values() if is_teacher_student else [encoder_slot]):
+    slots = (encoder_slot.items() if is_teacher_student
+             else [("encoder", encoder_slot)])
+    for slot_name, loaded in slots:
         enc = loaded.encoder
+        # The frozen teacher never receives gradients (steps.py wraps its
+        # outputs in stop_gradient), so an inference-form teacher — int8 or
+        # fused_block megakernel — is valid and fast; only gradient-carrying
+        # slots must have a differentiable path.
+        if slot_name == "teacher":
+            continue
         if getattr(enc, "trainable", True) is False or getattr(enc, "quantized", False):
             raise ValueError(
                 f"{type(enc).__name__} is evaluation-only (eval-form weights/int8); "

@@ -173,6 +173,44 @@ def _bf16_layer_kernel(x_ref,
     y_ref[...] = x32.astype(y_ref.dtype)
 
 
+def _launch(kernel, operands, block_rows: int, interpret: bool,
+            smem_idx=()):
+    """Shared megakernel launcher. operands[0] is the (B, L, W) activation;
+    it is blocked on the leading axis and ALIASED to the output (block i's
+    output overwrites block i's input after the read — same index map), so a
+    layer scan keeps ONE carry buffer instead of copying (B, L, W) every
+    layer (profiled at ~0.5 ms/layer at ViT-B/16 eval shapes); callers must
+    treat it as donated. All other operands get full-array blocks with
+    constant index maps — fetched to VMEM once, resident across the grid.
+    Operand indices in smem_idx go to SMEM (small scalar packs)."""
+    x = operands[0]
+    batch, seq, width = x.shape
+    block = block_rows
+    while batch % block:
+        block -= 1
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    smem = pltpu.ANY if interpret else pltpu.SMEM
+
+    in_specs = [pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                             memory_space=memory_space)]
+    for idx, op in enumerate(operands[1:], start=1):
+        in_specs.append(pl.BlockSpec(
+            op.shape, lambda i, nd=op.ndim: (0,) * nd,
+            memory_space=smem if idx in smem_idx else memory_space))
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, width), x.dtype),
+        interpret=interpret,
+        input_output_aliases={0: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(*operands)
+
+
 def fused_bf16_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
                      causal: bool = False, quick_gelu: bool = True,
                      block_rows: int = 1,
@@ -184,10 +222,6 @@ def fused_bf16_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
     VJP) — training uses the flax path."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    batch, seq, width = x.shape
-    block = block_rows
-    while batch % block:
-        block -= 1
 
     def w(node):
         return node["kernel"].astype(x.dtype)
@@ -209,30 +243,9 @@ def fused_bf16_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
         w(layer["mlp_fc"]), b(layer["mlp_fc"]),
         w(layer["mlp_proj"]), b(layer["mlp_proj"]),
     ]
-    memory_space = pltpu.ANY if interpret else pltpu.VMEM
-
-    def resident(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
-                            memory_space=memory_space)
-
-    in_specs = [pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
-                             memory_space=memory_space)]
-    in_specs += [resident(op) for op in operands[1:]]
-
     kernel = functools.partial(_bf16_layer_kernel, heads=heads, causal=causal,
                                quick_gelu=quick_gelu)
-    return pl.pallas_call(
-        kernel,
-        grid=(batch // block,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
-                               memory_space=memory_space),
-        out_shape=jax.ShapeDtypeStruct((batch, seq, width), x.dtype),
-        interpret=interpret,
-        input_output_aliases={0: 0},
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20),
-    )(*operands)
+    return _launch(kernel, operands, block_rows, interpret)
 
 
 def _dense_operands(node: Dict[str, Any]):
@@ -256,10 +269,6 @@ def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
     and stay resident across the batch grid."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    batch, seq, width = x.shape
-    block = block_rows
-    while batch % block:
-        block -= 1
 
     wq, qs, qb, inv_q = _dense_operands(layer["attn"]["in_proj"])
     wo, osc, ob, inv_o = _dense_operands(layer["attn"]["out_proj"])
@@ -277,34 +286,6 @@ def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
         ln_vec("ln_2", "scale"), ln_vec("ln_2", "bias"), wf, fs, fb,
         wp, ps, pb,
     ]
-    memory_space = pltpu.ANY if interpret else pltpu.VMEM
-    smem = pltpu.ANY if interpret else pltpu.SMEM
-
-    def resident(arr):
-        """Full-array block with a constant index map: fetched once."""
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
-                            memory_space=memory_space)
-
-    in_specs = [pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
-                             memory_space=memory_space),
-                pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=smem)]
-    in_specs += [resident(op) for op in operands[2:]]
-
     kernel = functools.partial(_layer_kernel, heads=heads, causal=causal,
                                quick_gelu=quick_gelu)
-    # x aliases y: block i's output overwrites block i's input after the read
-    # (same index map), letting the layer scan keep ONE carry buffer instead
-    # of copying (B, L, W) every layer (profiled at ~0.5 ms/layer at ViT-B/16
-    # eval shapes). Callers must treat x as donated.
-    return pl.pallas_call(
-        kernel,
-        grid=(batch // block,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
-                               memory_space=memory_space),
-        out_shape=jax.ShapeDtypeStruct((batch, seq, width), x.dtype),
-        interpret=interpret,
-        input_output_aliases={0: 0},
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20),
-    )(*operands)
+    return _launch(kernel, operands, block_rows, interpret, smem_idx=(1,))

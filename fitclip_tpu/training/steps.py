@@ -44,15 +44,16 @@ def _encode_video_train(encoder, params, video):
     return encoder.encode_video(params, video), None
 
 
-def _merge_bn_updates(a, b):
-    """Average two bn_stats update trees (the teacher-student step encodes
-    two sub-batches; averaging their EMA targets equals one EMA step over the
-    combined batch statistics)."""
+def _merge_bn_updates(encoder, encoder_params, a, b):
+    """Combine the bn_stats update trees of the two teacher-student
+    sub-batches into the result of torch's sequential running-stat updates
+    (labeled forward first, unlabeled second) — see
+    ResNetClipVideoTextEncoder.sequential_bn_merge."""
     if a is None:
         return b
     if b is None:
         return a
-    return jax.tree_util.tree_map(lambda x, y: (x + y) / 2, a, b)
+    return encoder.sequential_bn_merge(encoder_params, a, b)
 
 
 def _apply_bn_updates(encoder, state: TrainState, bn_updates) -> TrainState:
@@ -143,7 +144,7 @@ def make_teacher_student_train_step(
         total = labeled_loss_share * labeled_loss + unlabeled_loss_share * unlabeled_loss
         return total, ({"loss/train_labeled": labeled_loss,
                         "loss/train_unlabeled": unlabeled_loss},
-                       _merge_bn_updates(bn_l, bn_u))
+                       _merge_bn_updates(student, params["encoder"], bn_l, bn_u))
 
     def step(state: TrainState, teacher_params, batch: Batch):
         (total, (aux, bn_updates)), grads = jax.value_and_grad(loss, has_aux=True)(

@@ -54,7 +54,7 @@ def make_layer_params(rng):
     }
 
 
-def make_run(mode: str, block: int):
+def make_run(mode: str, block: int, alias: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -271,7 +271,7 @@ def make_run(mode: str, block: int):
                                  memory_space=memory_space),
                     pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=smem)]
         in_specs += [resident(op) for op in operands[2:]]
-        aliases = {0: 0} if os.environ.get("BENCH_BLOCK_ALIAS") else {}
+        aliases = {0: 0} if alias else {}
         return pl.pallas_call(
             kernel,
             grid=(batch // block,),
@@ -309,14 +309,15 @@ def main() -> None:
     core_gf = 2 * 2 * FRAMES * SEQ * SEQ * WIDTH / 1e9
 
     for case in args.cases.split(","):
-        mode, block = case, args.block
+        mode, block, alias = case, args.block, bool(os.environ.get("BENCH_BLOCK_ALIAS"))
         if case.startswith("b") and case[1:].isdigit():
             mode, block = "full", int(case[1:])
         elif case == "b2split":
             block = 2
         elif case == "alias":
-            mode = "full"
-        run = make_run(mode, block)
+            mode, alias = "full", True
+
+        run = make_run(mode, block, alias)
 
         @jax.jit
         def chain(steps, x, layer):

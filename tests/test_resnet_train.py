@@ -129,6 +129,73 @@ def test_contrastive_train_step_updates_rn(tiny_rn_config):
     assert int(new_state2.step) == 2
 
 
+def test_sequential_bn_merge_matches_torch_two_updates():
+    """The teacher-student step sees two sub-batches; running stats must end
+    where torch would after two sequential train-mode forwards."""
+    import torch
+
+    import jax.numpy as jnp
+    from fitclip_tpu.models.clip.resnet import BatchNorm
+    from fitclip_tpu.models.clip.resnet_clip import ResNetClipVideoTextEncoder
+
+    rng = np.random.default_rng(3)
+    x1 = rng.normal(size=(4, 3, 3, 2)).astype(np.float32)
+    x2 = rng.normal(loc=1.5, size=(4, 3, 3, 2)).astype(np.float32)
+    params = {"weight": np.ones(2, np.float32), "bias": np.zeros(2, np.float32),
+              "running_mean": rng.normal(size=2).astype(np.float32),
+              "running_var": rng.uniform(0.5, 2, size=2).astype(np.float32)}
+
+    module = BatchNorm(2, use_batch_stats=True)
+    _, m1 = module.apply({"params": params}, jnp.asarray(x1), mutable=["bn_stats"])
+    _, m2 = module.apply({"params": params}, jnp.asarray(x2), mutable=["bn_stats"])
+    merged = ResNetClipVideoTextEncoder.sequential_bn_merge(
+        params, m1["bn_stats"], m2["bn_stats"])
+
+    t_bn = torch.nn.BatchNorm2d(2)
+    with torch.no_grad():
+        t_bn.weight.copy_(torch.ones(2))
+        t_bn.bias.copy_(torch.zeros(2))
+        t_bn.running_mean.copy_(torch.from_numpy(params["running_mean"]))
+        t_bn.running_var.copy_(torch.from_numpy(params["running_var"]))
+    t_bn.train()
+    t_bn(torch.from_numpy(x1).permute(0, 3, 1, 2))
+    t_bn(torch.from_numpy(x2).permute(0, 3, 1, 2))
+
+    np.testing.assert_allclose(np.asarray(merged["mean"][0]),
+                               t_bn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(merged["var"][0]),
+                               t_bn.running_var.numpy(), atol=1e-6)
+
+
+def test_fused_block_teacher_allowed_for_training(tiny_rn_config):
+    """A frozen teacher never receives gradients, so an inference-form
+    (fused_block) teacher must pass the train-runner guard; a fused_block
+    STUDENT must still be refused."""
+    import pytest as _pytest
+
+    from fitclip_tpu.cli.train_runner import run_train
+    from fitclip_tpu.models.clip import CLIPConfig
+    from fitclip_tpu.models.clip.encoder import ClipVideoTextEncoder
+
+    class Loaded:
+        def __init__(self, encoder):
+            self.encoder = encoder
+            self.params = {}
+
+    fused = Loaded(ClipVideoTextEncoder(CLIPConfig.tiny_test(), fused_block=True))
+    plain = Loaded(ClipVideoTextEncoder(CLIPConfig.tiny_test()))
+
+    # fused student -> refused.
+    with _pytest.raises(ValueError, match="fused_block"):
+        run_train({"student": fused, "teacher": plain}, data_module=None,
+                  model_cfg={}, trainer_cfg={}, optimizer_cfg={})
+    # fused teacher -> passes the guard (fails later only on the None data
+    # module, which is enough to show the guard admitted it).
+    with _pytest.raises(AttributeError):
+        run_train({"student": plain, "teacher": fused}, data_module=None,
+                  model_cfg={}, trainer_cfg={}, optimizer_cfg={})
+
+
 def test_eval_embeddings_identical_before_after_flag(tiny_rn_config):
     """The trainable path must not perturb the zero-shot eval form."""
     import jax
