@@ -54,6 +54,101 @@ def make_layer_params(rng):
     }
 
 
+def make_skew_run():
+    """Software-pipelined layer: grid step i runs the MLP half of frame i-1
+    (from a VMEM scratch carry) and the attention half of frame i. The two
+    halves are data-independent, giving Mosaic's scheduler a VPU-heavy chain
+    (attention softmax/pack) to interleave with an MXU-heavy chain (MLP
+    matmuls) inside every step."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fitclip_tpu.ops.block import (_attention_core, _dense_operands,
+                                       _int8_dense, _ln, _quant)
+
+    def kernel(x_ref, invs_ref,
+               ln1_s_ref, ln1_b_ref, wq_ref, qs_ref, qb_ref,
+               wo_ref, os_ref, ob_ref,
+               ln2_s_ref, ln2_b_ref, wf_ref, fs_ref, fb_ref,
+               wp_ref, ps_ref, pb_ref, fsb_ref, fbb_ref, invfb_ref,
+               y_ref, x2_scratch):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        # MLP half of the PREVIOUS frame (reads the scratch before the
+        # attention half overwrites it).
+        @pl.when(i > 0)
+        def _():
+            x32 = x2_scratch[...]
+            h2_q = _quant(_ln(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
+            h = _int8_dense(h2_q, wf_ref, fs_ref, fb_ref)
+            h = h * jax.nn.sigmoid(1.702 * h)
+            h_q = _quant(h, invs_ref[0, 3])
+            y_ref[...] = (x32 + _int8_dense(h_q, wp_ref, ps_ref, pb_ref)
+                          ).astype(y_ref.dtype)
+
+        # Attention half of the CURRENT frame.
+        @pl.when(i < n - 1)
+        def _():
+            x = x_ref[...]
+            x32 = x.astype(jnp.float32)
+            width = x.shape[-1]
+            h1_q = _quant(_ln(x32, ln1_s_ref, ln1_b_ref), invs_ref[0, 0])
+            qkv = _int8_dense(h1_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
+            att = _attention_core(qkv, HEADS, (width // HEADS) ** -0.5, False,
+                                  jnp.float32)
+            att_q = _quant(att, invs_ref[0, 1])
+            x2_scratch[...] = x32 + _int8_dense(att_q, wo_ref, os_ref, ob_ref)
+
+    def run(x, layer):
+        batch, seq, width = x.shape
+        wq, qs, qb, inv_q = _dense_operands(layer["attn"]["in_proj"])
+        wo, osc, ob, inv_o = _dense_operands(layer["attn"]["out_proj"])
+        wf, fs, fb, inv_f = _dense_operands(layer["mlp_fc"])
+        wp, ps, pb, inv_p = _dense_operands(layer["mlp_proj"])
+        invs = jnp.stack([inv_q, inv_o, inv_f, inv_p]).reshape(1, 4)
+
+        def ln_vec(name, leaf):
+            return layer[name]["ln"][leaf].astype(jnp.float32).reshape(1, -1)
+
+        operands = [x, invs,
+                    ln_vec("ln_1", "scale"), ln_vec("ln_1", "bias"), wq, qs, qb,
+                    wo, osc, ob,
+                    ln_vec("ln_2", "scale"), ln_vec("ln_2", "bias"), wf, fs, fb,
+                    wp, ps, pb,
+                    fs.astype(jnp.bfloat16), fb.astype(jnp.bfloat16),
+                    jnp.full((1, 4 * WIDTH), inv_f, jnp.bfloat16)]
+        interpret = jax.default_backend() != "tpu"
+        memory_space = pltpu.ANY if interpret else pltpu.VMEM
+        smem = pltpu.ANY if interpret else pltpu.SMEM
+        last = batch - 1
+
+        in_specs = [pl.BlockSpec((1, seq, width),
+                                 lambda i: (jnp.minimum(i, last), 0, 0),
+                                 memory_space=memory_space),
+                    pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=smem)]
+        in_specs += [pl.BlockSpec(op.shape, lambda i, nd=op.ndim: (0,) * nd,
+                                  memory_space=memory_space)
+                     for op in operands[2:]]
+        return pl.pallas_call(
+            kernel,
+            grid=(batch + 1,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, seq, width),
+                                   lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                                   memory_space=memory_space),
+            out_shape=jax.ShapeDtypeStruct((batch, seq, width), x.dtype),
+            scratch_shapes=[pltpu.VMEM((1, seq, width), jnp.float32)],
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20),
+        )(*operands)
+
+    return run
+
+
 def make_run(mode: str, block: int, alias: bool = False):
     import jax
     import jax.numpy as jnp
@@ -317,7 +412,7 @@ def main() -> None:
         elif case == "alias":
             mode, alias = "full", True
 
-        run = make_run(mode, block, alias)
+        run = make_skew_run() if mode == "skew" else make_run(mode, block, alias)
 
         @jax.jit
         def chain(steps, x, layer):
