@@ -9,12 +9,14 @@ drop_last), but the static split means the jitted teacher-student step sees
 fixed shapes — no runtime groupby (teacher_student.py:100-102) required.
 """
 
+import queue
+import threading
+import zlib
 from typing import Dict, Iterator, List, Mapping, Optional, Union
 
 import numpy as np
 
 from fitclip_tpu.data.loader import DataLoader, item_rng
-from fitclip_tpu.data.multi_source_sampler import CycleSampler
 
 
 class EvalDataModuleGroup:
@@ -48,17 +50,34 @@ class DataModuleStructuredGroup(EvalDataModuleGroup):
                 for name, dm in zip(self.names, self.data_modules)}
 
 
+def _stable_source_key(name: str) -> int:
+    """Process-independent integer key for a source name. Python's built-in
+    ``hash`` on strings is randomized per process (PYTHONHASHSEED), which
+    would give two runs of the same command different data orders."""
+    return zlib.crc32(name.encode("utf-8"))
+
+
 class MixedBatchLoader:
     """Fixed-composition mixed batches: each batch holds exactly
     sequence_sizes[k] items of source k (in per-source random order), sources
-    cycling except the longest-running one (max_size_cycle), drop_last."""
+    cycling except the longest-running one (max_size_cycle), drop_last.
+
+    Matches the reference's sampler composition (aligner/data/
+    multi_source_sampler.py:25-29 + data_module_group.py:129-137): a cycled
+    source re-iterates a torch RandomSampler each cycle, i.e. draws a FRESH
+    permutation per cycle — so shorter sources don't repeat one fixed order
+    within an epoch. Item decode runs on a GIL-releasing thread pool with a
+    bounded prefetch queue, same as ``DataLoader``."""
 
     def __init__(self, loaders: Mapping[str, DataLoader],
-                 sequence_sizes: Mapping[str, int], seed: int = 42) -> None:
+                 sequence_sizes: Mapping[str, int], seed: int = 42,
+                 num_threads: int = 8, prefetch_batches: int = 2) -> None:
         self.loaders = dict(loaders)
         self.sequence_sizes = {k: int(sequence_sizes[k]) for k in self.loaders}
         self.seed = seed
         self.epoch = 0
+        self.num_threads = max(1, num_threads)
+        self.prefetch_batches = prefetch_batches
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -76,24 +95,74 @@ class MixedBatchLoader:
         runs = {name: len(loader.dataset) // self.sequence_sizes[name]
                 for name, loader in self.loaders.items()}
         longest = max(runs, key=lambda name: runs[name])
+
+        def cycling(n: int, rng: np.random.Generator) -> Iterator[int]:
+            while True:
+                yield from rng.permutation(n).tolist()
+
         for name, loader in self.loaders.items():
-            rng = np.random.default_rng(
-                np.random.SeedSequence([self.seed, self.epoch, hash(name) % (2 ** 31)]))
-            order = rng.permutation(len(loader.dataset)).tolist()
-            orders[name] = iter(order) if name == longest else iter(CycleSampler(order))
+            rng = np.random.default_rng(np.random.SeedSequence(
+                [self.seed, self.epoch, _stable_source_key(name)]))
+            n = len(loader.dataset)
+            orders[name] = (iter(rng.permutation(n).tolist())
+                            if name == longest else cycling(n, rng))
         return orders
 
-    def __iter__(self) -> Iterator[Dict[str, dict]]:
+    def _index_plan(self) -> List[Dict[str, List[int]]]:
         orders = self._orders()
-        num_batches = len(self)
-        for _ in range(num_batches):
-            batch: Dict[str, dict] = {}
-            for name, loader in self.loaders.items():
-                indices = [next(orders[name]) for _ in range(self.sequence_sizes[name])]
-                items = [loader.dataset.__getitem__(
-                    i, rng=item_rng(self.seed, self.epoch, i)) for i in indices]
-                batch[name] = loader.collate(items)
-            yield batch
+        return [{name: [next(orders[name])
+                        for _ in range(self.sequence_sizes[name])]
+                 for name in self.loaders}
+                for _ in range(len(self))]
+
+    def __iter__(self) -> Iterator[Dict[str, dict]]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        plan = self._index_plan()
+        output: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch_batches))
+        stop = threading.Event()
+
+        def load(name: str, index: int):
+            return self.loaders[name].dataset.__getitem__(
+                index, rng=item_rng(self.seed, self.epoch, index))
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                    for spec in plan:
+                        if stop.is_set():
+                            break
+                        pairs = [(name, i) for name, indices in spec.items()
+                                 for i in indices]
+                        items = list(pool.map(lambda p: load(*p), pairs))
+                        batch, cursor = {}, 0
+                        for name, indices in spec.items():
+                            sub = items[cursor:cursor + len(indices)]
+                            cursor += len(indices)
+                            batch[name] = self.loaders[name].collate(sub)
+                        output.put(batch)
+                output.put(StopIteration)
+            except BaseException as exc:  # surface decode errors to the consumer
+                output.put(exc)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                batch = output.get()
+                if batch is StopIteration:
+                    return
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+            # Drain so the producer can exit if blocked on put().
+            while producer.is_alive():
+                try:
+                    output.get_nowait()
+                except queue.Empty:
+                    producer.join(timeout=0.1)
 
 
 class MixedBatchDataModule(EvalDataModuleGroup):

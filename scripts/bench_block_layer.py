@@ -11,6 +11,20 @@ VPU stages with MXU stages within a grid step):
   bf16gelu    GELU + h-quantize in bf16 instead of fp32
   noquant     int8 denses fed a cheap cast instead of round/clip quantize
   b2 / b4     block_rows sweep (with the 100MB VMEM budget)
+
+Round-3 cases (the levers VERDICT.md names):
+  mlpfold     fc epilogue with the requant scale folded INTO the dequant
+              (t = acc*(fs*inv_p) + fb*inv_p), QuickGELU via exp2 + approx
+              reciprocal, one round/clip — ~10 VPU passes over (L, 4W)
+              instead of ~14, and exp2/rsqrt-class transcendentals only
+  mlpfold16   same but the dequant/exp2/reciprocal passes in bf16 (packed
+              lanes); only the final round runs in f32
+  sm2         softmax via exp2 with log2(e) and the q-scale BOTH folded into
+              the QKV dense's dequant scale (zero per-head q scaling), and
+              the divide replaced by an approx-reciprocal multiply
+  sm2mlp16    sm2 + mlpfold16 combined
+  heads3      head loop split into phases (all QK^T, then all softmax, then
+              all AV) to hand Mosaic's scheduler independent VPU/MXU chains
 """
 import argparse
 import functools
@@ -158,11 +172,20 @@ def make_run(mode: str, block: int, alias: bool = False):
     from fitclip_tpu.ops.block import (_attention_core, _dense_operands,
                                        _int8_dense, _ln, _quant)
 
+    LOG2E = 1.4426950408889634
+    attn_mode = ("sm2" if mode in ("sm2", "sm2mlp16")
+                 else "heads3" if mode == "heads3" else mode)
+    mlp_mode = ("fold16" if mode in ("mlpfold16", "sm2mlp16")
+                else "fold" if mode == "mlpfold"
+                else "bf16" if mode == "bf16gelu" else "base")
+
     def kernel(x_ref, invs_ref,
                ln1_s_ref, ln1_b_ref, wq_ref, qs_ref, qb_ref,
                wo_ref, os_ref, ob_ref,
                ln2_s_ref, ln2_b_ref, wf_ref, fs_ref, fb_ref,
-               wp_ref, ps_ref, pb_ref, fsb_ref, fbb_ref, invfb_ref, y_ref):
+               wp_ref, ps_ref, pb_ref, fsb_ref, fbb_ref, invfb_ref,
+               fs2_ref, fb2_ref, kv_ref, fs2b_ref, fb2b_ref, kvb_ref,
+               y_ref):
         x = x_ref[...]
         x32 = x.astype(jnp.float32)
         width = x.shape[-1]
@@ -187,8 +210,57 @@ def make_run(mode: str, block: int, alias: bool = False):
 
         h1_q = ln_quant(x32, ln1_s_ref, ln1_b_ref, invs_ref[0, 0])
         qkv = _int8_dense(h1_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
-        if mode == "noattn":
+        if attn_mode == "sm2":
+            # The q-scale (D^-0.5 * log2e) is folded into the QKV dense's
+            # dequant scale columns outside the kernel: logits come out in
+            # log2 units with NO per-head q multiply. exp2 is the native
+            # transcendental; the divide becomes an approx-reciprocal mul.
+            parts = []
+            for h in range(HEADS):
+                qh = qkv[:, :, h * head_dim:(h + 1) * head_dim]
+                kh = qkv[:, :, width + h * head_dim:width + (h + 1) * head_dim]
+                vh = qkv[:, :, 2 * width + h * head_dim:
+                         2 * width + (h + 1) * head_dim]
+                logits = jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                peak = jnp.max(logits, axis=-1, keepdims=True)
+                exps = jnp.exp2(logits - peak)
+                denom = jnp.sum(exps, axis=-1, keepdims=True)
+                w = (exps * pl.reciprocal(denom, approx=True)).astype(vh.dtype)
+                parts.append(jax.lax.dot_general(
+                    w, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32))
+            att = jnp.concatenate(parts, axis=2)
+        elif mode == "noattn":
             att = qkv[:, :, :width].astype(jnp.float32)
+        elif mode == "heads3":
+            # Same math as the shipping head loop, but phase-ordered: all 12
+            # QK^T matmuls first, then all softmaxes, then all AV matmuls —
+            # adjacent independent MXU/VPU chains for the list scheduler.
+            scale_q = jnp.asarray(head_dim ** -0.5, qkv.dtype)
+            qs_l = [qkv[:, :, h * head_dim:(h + 1) * head_dim] * scale_q
+                    for h in range(HEADS)]
+            ks_l = [qkv[:, :, width + h * head_dim:width + (h + 1) * head_dim]
+                    for h in range(HEADS)]
+            vs_l = [qkv[:, :, 2 * width + h * head_dim:
+                        2 * width + (h + 1) * head_dim]
+                    for h in range(HEADS)]
+            logits_l = [jax.lax.dot_general(
+                qs_l[h], ks_l[h], dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) for h in range(HEADS)]
+            ws_l = []
+            for h in range(HEADS):
+                peak = jnp.max(logits_l[h], axis=-1, keepdims=True)
+                exps = jnp.exp(logits_l[h] - peak)
+                denom = jnp.sum(exps, axis=-1, keepdims=True)
+                ws_l.append((exps / denom).astype(vs_l[h].dtype))
+            att = jnp.concatenate(
+                [jax.lax.dot_general(
+                    ws_l[h], vs_l[h],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                 for h in range(HEADS)], axis=2)
         elif mode == "headloop":
             # Per-head attention without the pack/concat: each head's q/k/v
             # is a 64-lane slice, softmax runs per head, and outputs land in
@@ -309,7 +381,31 @@ def make_run(mode: str, block: int, alias: bool = False):
 
         if mode != "nomlp":
             h2_q = ln_quant(x32, ln2_s_ref, ln2_b_ref, invs_ref[0, 2])
-            if mode == "bf16gelu":
+            if mlp_mode in ("fold", "fold16"):
+                # Folded epilogue: the requant multiplier inv_p rides the
+                # dequant (t = h*inv_p directly), QuickGELU becomes
+                # g(h)*inv_p = t * 1/(1 + exp2(t*k)) with
+                # k = -1.702*log2e/inv_p folded outside, and the divide is an
+                # approx reciprocal. One round/clip pass total.
+                acc = jax.lax.dot_general(
+                    h2_q, wf_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                if mlp_mode == "fold16":
+                    # Mosaic's approx reciprocal is f32-only, so the logistic
+                    # denominator uses a bf16 divide; wide passes stay bf16.
+                    t = (acc.astype(jnp.bfloat16) * fs2b_ref[...][0]
+                         + fb2b_ref[...][0])
+                    one = jnp.full((1, 1, 1), 1.0, jnp.bfloat16)
+                    e = jnp.exp2(t * kvb_ref[...][0])
+                    g = t * (one / (one + e))
+                    h_q = jnp.clip(jnp.round(g.astype(jnp.float32)),
+                                   -127, 127).astype(jnp.int8)
+                else:
+                    t = acc.astype(jnp.float32) * fs2_ref[...][0] + fb2_ref[...][0]
+                    e = jnp.exp2(t * kv_ref[...][0])
+                    g = t * pl.reciprocal(1.0 + e, approx=True)
+                    h_q = jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8)
+            elif mode == "bf16gelu":
                 # Whole fc epilogue in bf16: int32 acc -> bf16 dequant (pre-cast
                 # bf16 scale/bias vectors) -> bf16 QuickGELU -> bf16 requant
                 # (pre-cast (1,1) bf16 inv). No fp32 pass over (L, 4W).
@@ -347,13 +443,29 @@ def make_run(mode: str, block: int, alias: bool = False):
         def ln_vec(name, leaf):
             return layer[name]["ln"][leaf].astype(jnp.float32).reshape(1, -1)
 
+        if attn_mode == "sm2":
+            # Fold D^-0.5 * log2e into the Q third of the QKV dense's dequant
+            # scale AND bias (q' = q*s needs both scaled).
+            s = (WIDTH // HEADS) ** -0.5 * LOG2E
+            colmul = jnp.asarray(
+                np.where(np.arange(3 * WIDTH) < WIDTH, s, 1.0).astype(np.float32))
+            qs = qs * colmul
+            qb = qb * colmul
+
+        fs2 = fs * inv_p
+        fb2 = fb * inv_p
+        kv = jnp.full((1, 4 * WIDTH), 1.0, jnp.float32) * (-1.702 * LOG2E / inv_p)
+
         operands = [x, invs,
                     ln_vec("ln_1", "scale"), ln_vec("ln_1", "bias"), wq, qs, qb,
                     wo, osc, ob,
                     ln_vec("ln_2", "scale"), ln_vec("ln_2", "bias"), wf, fs, fb,
                     wp, ps, pb,
                     fs.astype(jnp.bfloat16), fb.astype(jnp.bfloat16),
-                    jnp.full((1, 4 * WIDTH), inv_f, jnp.bfloat16)]
+                    jnp.full((1, 4 * WIDTH), inv_p, jnp.bfloat16),
+                    fs2, fb2, kv,
+                    fs2.astype(jnp.bfloat16), fb2.astype(jnp.bfloat16),
+                    kv.astype(jnp.bfloat16)]
         interpret = jax.default_backend() != "tpu"
         memory_space = pltpu.ANY if interpret else pltpu.VMEM
         smem = pltpu.ANY if interpret else pltpu.SMEM
@@ -392,12 +504,19 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cases", default="full,noattn,nomlp,bf16gelu,noquant")
     parser.add_argument("--block", type=int, default=1)
+    parser.add_argument("--check", action="store_true",
+                        help="also print each case's output cosine vs full")
     args = parser.parse_args()
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(FRAMES, SEQ, WIDTH)).astype(np.float32),
                     dtype=jnp.bfloat16)
     layer = make_layer_params(rng)
+
+    ref_out = None
+    if args.check:
+        full_run = make_run("full", 1, False)
+        ref_out = np.asarray(full_run(x + 0, layer), np.float32).ravel()
 
     # fp-equivalent FLOPs of the full layer (proj + core + mlp).
     dense_gf = 2 * FRAMES * SEQ * WIDTH * (3 * WIDTH + WIDTH + 8 * WIDTH) / 1e9
@@ -421,13 +540,31 @@ def main() -> None:
                 return carry + (jnp.abs(out).sum() > 0).astype(jnp.float32)
             return jax.lax.fori_loop(0, steps, body, jnp.float32(0.0))
 
-        seconds = sustained_seconds_per_step(
-            lambda s: chain(jnp.int32(s), x, layer))
+        cos = None
+        if ref_out is not None and mode != "skew":
+            try:
+                out = np.asarray(run(x + 0, layer), np.float32).ravel()
+                cos = float(np.dot(out, ref_out)
+                            / (np.linalg.norm(out) * np.linalg.norm(ref_out)))
+            except Exception as exc:
+                print(json.dumps({"case": case, "block": block,
+                                  "error": str(exc)[:300]}), flush=True)
+                continue
+
+        try:
+            seconds = sustained_seconds_per_step(
+                lambda s: chain(jnp.int32(s), x, layer))
+        except Exception as exc:  # keep the sweep alive past one bad lowering
+            print(json.dumps({"case": case, "block": block,
+                              "error": str(exc)[:300]}), flush=True)
+            continue
         gf = dense_gf + core_gf
-        print(json.dumps({"case": case, "block": block,
-                          "ms": round(seconds * 1e3, 3),
-                          "tflops_fp_equiv": round(gf / seconds / 1e3, 1)}),
-              flush=True)
+        rec = {"case": case, "block": block,
+               "ms": round(seconds * 1e3, 3),
+               "tflops_fp_equiv": round(gf / seconds / 1e3, 1)}
+        if cos is not None:
+            rec["cos_vs_full"] = round(cos, 6)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
