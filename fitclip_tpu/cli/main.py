@@ -151,8 +151,24 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
     data_module = instantiate_data_module(cfg["data"], encoder_slot)
 
     checkpoint_path = cfg.get("checkpoint_path")
-    if checkpoint_path and not isinstance(encoder_slot, Mapping):
-        encoder_slot = _maybe_load_checkpoint(encoder_slot, checkpoint_path)
+    resume_path = None
+    if checkpoint_path:
+        from fitclip_tpu.training.checkpointing import is_full_train_state
+
+        if command == "train" and os.path.isdir(checkpoint_path) \
+                and is_full_train_state(checkpoint_path):
+            # Full mid-training resume: the whole TrainState (params +
+            # optimizer + step) restores inside run_train, matching the
+            # reference's trainer.fit(ckpt_path=...) (aligner/cli.py:148).
+            resume_path = checkpoint_path
+        elif isinstance(encoder_slot, Mapping):
+            # Bare-params checkpoint on a {student, teacher} slot loads into
+            # the gradient-carrying student tower.
+            encoder_slot = dict(encoder_slot)
+            encoder_slot["student"] = _maybe_load_checkpoint(
+                encoder_slot["student"], checkpoint_path)
+        else:
+            encoder_slot = _maybe_load_checkpoint(encoder_slot, checkpoint_path)
 
     optimized_metric_name = cfg.get("optimized_metric_name")
     metrics: Dict[str, float] = {}
@@ -165,7 +181,8 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
             optimizer_cfg=cfg.get("optimizer", {}),
             callbacks_cfg=cfg.get("trainer", {}).get("callbacks"),
             prompts_path=cfg.get("prompts"),
-            log_dir=cfg.get("log_dir", "logs"))
+            log_dir=cfg.get("log_dir", "logs"),
+            checkpoint_path=resume_path)
         metrics = result["metrics"]
     elif command in ("evaluate", "validate", "test"):
         split = "test" if command == "test" else "val"

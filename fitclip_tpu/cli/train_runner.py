@@ -79,7 +79,8 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
               optimizer_cfg: Mapping[str, Any],
               callbacks_cfg: Optional[Mapping[str, Any]] = None,
               prompts_path: Optional[str] = None,
-              mesh=None, log_dir: Optional[str] = None) -> Dict[str, Any]:
+              mesh=None, log_dir: Optional[str] = None,
+              checkpoint_path: Optional[str] = None) -> Dict[str, Any]:
     mesh = mesh or create_mesh()
     is_teacher_student = isinstance(encoder_slot, Mapping)
 
@@ -138,6 +139,21 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
                              init_temperature=init_temperature,
                              min_temperature=min_temperature,
                              with_teacher_student_scale=is_teacher_student)
+
+    # Full mid-training resume (reference trainer.fit(ckpt_path=...),
+    # aligner/cli.py:148): restore the ENTIRE TrainState — params, optimizer
+    # moments, step, temperatures — into the freshly built template, plus
+    # callback state from the JSON sidecar. The teacher tower (frozen, never
+    # optimized) always comes from the encoder config.
+    resume_trainer_state = None
+    if checkpoint_path:
+        from fitclip_tpu.training.checkpointing import (load_trainer_state,
+                                                        restore_checkpoint)
+
+        state = restore_checkpoint(checkpoint_path, template=jax.device_get(state))
+        resume_trainer_state = load_trainer_state(checkpoint_path)
+        LOGGER.info("Resumed full TrainState at step %d from %s",
+                    int(state.step), checkpoint_path)
     state = jax.device_put(state, replicated(mesh))
 
     teacher_params = None
@@ -167,7 +183,8 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
                       prepare_batch=_make_batch_preparer(mesh))
     final_state = trainer.fit(state, step, data_module.train_dataloader(),
                               validate=validate if _has_val(data_module) else None,
-                              teacher_params=teacher_params)
+                              teacher_params=teacher_params,
+                              resume_trainer_state=resume_trainer_state)
     return {"state": final_state,
             "metrics": getattr(trainer, "_last_val_metrics", {})}
 

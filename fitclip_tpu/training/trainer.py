@@ -19,7 +19,7 @@ from typing import Any, Callable, Dict, Mapping, Optional
 import jax
 import numpy as np
 
-from fitclip_tpu.training.checkpointing import save_checkpoint
+from fitclip_tpu.training.checkpointing import save_checkpoint, save_trainer_state
 from fitclip_tpu.training.state import TrainState
 from fitclip_tpu.utils.logging import MetricsLogger
 
@@ -86,16 +86,28 @@ class Trainer:
             train_step: Callable,
             train_loader,
             validate: Optional[Callable[[TrainState], Dict[str, float]]] = None,
-            teacher_params: Any = None) -> TrainState:
+            teacher_params: Any = None,
+            resume_trainer_state: Optional[Mapping[str, Any]] = None) -> TrainState:
         config = self.config
         early_stopping = (_EarlyStopping(config.early_stopping)
                           if config.early_stopping else None)
         ckpt = config.checkpoint
-        best_value = None
         last_time_ckpt = time.time()
         jitted = jax.jit(train_step)
         global_step = int(state.step)
         stop = False
+
+        # Restore callback state saved alongside a full-TrainState checkpoint
+        # (PL persists callback state inside its checkpoints; ours rides a
+        # JSON sidecar — training/checkpointing.py).
+        if resume_trainer_state:
+            if resume_trainer_state.get("best_monitor") is not None:
+                self._best_monitor = resume_trainer_state["best_monitor"]
+            if early_stopping and "early_stopping_best" in resume_trainer_state:
+                early_stopping.best = resume_trainer_state["early_stopping_best"]
+                early_stopping.bad_checks = resume_trainer_state.get(
+                    "early_stopping_bad_checks", 0)
+        self._early_stopping = early_stopping
 
         for epoch in range(config.max_epochs):
             if hasattr(train_loader, "set_epoch"):
@@ -104,7 +116,21 @@ class Trainer:
             val_every = (max(1, int(steps_per_epoch * config.val_check_interval))
                          if steps_per_epoch and config.val_check_interval < 1 else None)
 
+            # Resume fast-forward: epochs fully covered by the restored step
+            # are skipped outright; a partially covered epoch re-iterates its
+            # loader (same epoch seed -> same order) and discards the batches
+            # already trained on, so 4 steps + resume + 4 steps consumes the
+            # exact sample stream of 8 straight steps.
+            skip_batches = 0
+            if steps_per_epoch and global_step > epoch * steps_per_epoch:
+                if global_step >= (epoch + 1) * steps_per_epoch:
+                    continue
+                skip_batches = global_step - epoch * steps_per_epoch
+
             for batch in train_loader:
+                if skip_batches:
+                    skip_batches -= 1
+                    continue
                 batch = self.prepare_batch(batch)
                 if teacher_params is not None:
                     state, metrics = jitted(state, teacher_params, batch)
@@ -163,3 +189,12 @@ class Trainer:
 
     def _save(self, state: TrainState, path: str) -> None:
         save_checkpoint(path, jax.device_get(state))
+        trainer_state: Dict[str, Any] = {}
+        if getattr(self, "_best_monitor", None) is not None:
+            trainer_state["best_monitor"] = float(self._best_monitor)
+        early = getattr(self, "_early_stopping", None)
+        if early is not None:
+            trainer_state["early_stopping_best"] = float(early.best)
+            trainer_state["early_stopping_bad_checks"] = int(early.bad_checks)
+        if trainer_state:
+            save_trainer_state(path, trainer_state)

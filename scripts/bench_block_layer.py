@@ -173,10 +173,12 @@ def make_run(mode: str, block: int, alias: bool = False):
                                        _int8_dense, _ln, _quant)
 
     LOG2E = 1.4426950408889634
-    attn_mode = ("sm2" if mode in ("sm2", "sm2mlp16")
+    attn_mode = ("sm2" if mode in ("sm2", "sm2mlp16", "smf")
+                 else "sm2div" if mode in ("sm2div", "smfdiv")
                  else "heads3" if mode == "heads3" else mode)
     mlp_mode = ("fold16" if mode in ("mlpfold16", "sm2mlp16")
-                else "fold" if mode == "mlpfold"
+                else "fold" if mode in ("mlpfold", "smf")
+                else "folddiv" if mode == "smfdiv"
                 else "bf16" if mode == "bf16gelu" else "base")
 
     def kernel(x_ref, invs_ref,
@@ -210,7 +212,7 @@ def make_run(mode: str, block: int, alias: bool = False):
 
         h1_q = ln_quant(x32, ln1_s_ref, ln1_b_ref, invs_ref[0, 0])
         qkv = _int8_dense(h1_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
-        if attn_mode == "sm2":
+        if attn_mode in ("sm2", "sm2div"):
             # The q-scale (D^-0.5 * log2e) is folded into the QKV dense's
             # dequant scale columns outside the kernel: logits come out in
             # log2 units with NO per-head q multiply. exp2 is the native
@@ -227,7 +229,8 @@ def make_run(mode: str, block: int, alias: bool = False):
                 peak = jnp.max(logits, axis=-1, keepdims=True)
                 exps = jnp.exp2(logits - peak)
                 denom = jnp.sum(exps, axis=-1, keepdims=True)
-                w = (exps * pl.reciprocal(denom, approx=True)).astype(vh.dtype)
+                w = (exps / denom if attn_mode == "sm2div"
+                     else exps * pl.reciprocal(denom, approx=True)).astype(vh.dtype)
                 parts.append(jax.lax.dot_general(
                     w, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32))
@@ -381,7 +384,7 @@ def make_run(mode: str, block: int, alias: bool = False):
 
         if mode != "nomlp":
             h2_q = ln_quant(x32, ln2_s_ref, ln2_b_ref, invs_ref[0, 2])
-            if mlp_mode in ("fold", "fold16"):
+            if mlp_mode in ("fold", "fold16", "folddiv"):
                 # Folded epilogue: the requant multiplier inv_p rides the
                 # dequant (t = h*inv_p directly), QuickGELU becomes
                 # g(h)*inv_p = t * 1/(1 + exp2(t*k)) with
@@ -403,7 +406,8 @@ def make_run(mode: str, block: int, alias: bool = False):
                 else:
                     t = acc.astype(jnp.float32) * fs2_ref[...][0] + fb2_ref[...][0]
                     e = jnp.exp2(t * kv_ref[...][0])
-                    g = t * pl.reciprocal(1.0 + e, approx=True)
+                    g = (t / (1.0 + e) if mlp_mode == "folddiv"
+                         else t * pl.reciprocal(1.0 + e, approx=True))
                     h_q = jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8)
             elif mode == "bf16gelu":
                 # Whole fc epilogue in bf16: int32 acc -> bf16 dequant (pre-cast
@@ -443,7 +447,7 @@ def make_run(mode: str, block: int, alias: bool = False):
         def ln_vec(name, leaf):
             return layer[name]["ln"][leaf].astype(jnp.float32).reshape(1, -1)
 
-        if attn_mode == "sm2":
+        if attn_mode in ("sm2", "sm2div"):
             # Fold D^-0.5 * log2e into the Q third of the QKV dense's dequant
             # scale AND bias (q' = q*s needs both scaled).
             s = (WIDTH // HEADS) ** -0.5 * LOG2E
