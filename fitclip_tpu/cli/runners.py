@@ -63,18 +63,18 @@ def _shard_mapped(step, encoder, mesh, num_batch_args: int):
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map  # jax >= 0.8
-
-        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
-        # annotation, which the default check rejects.
-        return shard_map(step, mesh=mesh,
-                         in_specs=(P(),) + (P("data"),) * num_batch_args,
-                         out_specs=P("data"), check_vma=False)
     except ImportError:
         from jax.experimental.shard_map import shard_map
-
-        return shard_map(step, mesh=mesh,
-                         in_specs=(P(),) + (P("data"),) * num_batch_args,
-                         out_specs=P("data"), check_rep=False)
+    kwargs = dict(mesh=mesh,
+                  in_specs=(P(),) + (P("data"),) * num_batch_args,
+                  out_specs=P("data"))
+    try:
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+        # annotation, which the default check rejects.
+        return shard_map(step, check_vma=False, **kwargs)
+    except TypeError:
+        # jax ~0.6-0.7 exposes jax.shard_map but still spells it check_rep.
+        return shard_map(step, check_rep=False, **kwargs)
 
 
 def _maybe_calibrate(encoder, params, video, text=None):

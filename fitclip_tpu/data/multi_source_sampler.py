@@ -52,7 +52,7 @@ class RoundRobinMultiSourceSampler:
 
         assert len(sub_samplers) == len(sequence_sizes)
         assert all(len(sampler) for sampler in sub_samplers), \
-            "All sub-samplers need to support `len` and be non-zero."
+            "every sub-sampler must be sized (len()) and non-empty"
         assert all(s > 0 for s in sequence_sizes)
 
         self.sub_samplers: List = sub_samplers

@@ -160,34 +160,6 @@ class ResNetClipVideoTextEncoder(ClipVideoTextEncoder):
         return emb.reshape(b, t, -1).mean(axis=1), mutated["bn_stats"]
 
     @staticmethod
-    def sequential_bn_merge(params, first, second, momentum: float = 0.1):
-        """Combine two bn_stats update trees that were BOTH computed from the
-        same base running stats into the result of applying them
-        SEQUENTIALLY (torch semantics: two forward passes update running
-        stats one after the other). With base o and EMA targets
-        t_k = (1-m)*o + m*s_k, the sequential result is
-        (1-m)*t_first + m*s_second = (1-m)*t_first + t_second - (1-m)*o."""
-        if first is None:
-            return second
-        if second is None:
-            return first
-
-        def walk(p_node, a_node, b_node):
-            out = {}
-            for key, a_val in a_node.items():
-                b_val = b_node[key]
-                if key in ("mean", "var"):
-                    old = p_node["running_" + ("mean" if key == "mean" else "var")]
-                    out[key] = tuple(
-                        (1 - momentum) * (a - old) + b
-                        for a, b in zip(a_val, b_val))
-                else:
-                    out[key] = walk(p_node[key], a_val, b_val)
-            return out
-
-        return walk(params, first, second)
-
-    @staticmethod
     def apply_bn_updates(params, bn_updates):
         """Merge sown EMA running stats back into the parameter tree. The
         bn_stats tree mirrors the module nesting with {"mean": (arr,),

@@ -44,18 +44,6 @@ def _encode_video_train(encoder, params, video):
     return encoder.encode_video(params, video), None
 
 
-def _merge_bn_updates(encoder, encoder_params, a, b):
-    """Combine the bn_stats update trees of the two teacher-student
-    sub-batches into the result of torch's sequential running-stat updates
-    (labeled forward first, unlabeled second) — see
-    ResNetClipVideoTextEncoder.sequential_bn_merge."""
-    if a is None:
-        return b
-    if b is None:
-        return a
-    return encoder.sequential_bn_merge(encoder_params, a, b)
-
-
 def _apply_bn_updates(encoder, state: TrainState, bn_updates) -> TrainState:
     if bn_updates is None:
         return state
@@ -106,6 +94,12 @@ def make_teacher_student_train_step(
     round-robin sampler composition is fixed per batch (static shapes for XLA).
     If prompts are given they replace the unlabeled text side for BOTH towers
     (teacher_student.py:104-116): scores become (videos x prompt bank).
+
+    The student runs ONCE over the concatenated labeled+unlabeled batch,
+    exactly like the reference's single forward (teacher_student.py:95) — so
+    BatchNorm students normalize with combined-batch statistics and do one
+    EMA running-stat update, and the ViT students get one full-batch matmul
+    instead of two half-batch ones.
     """
     unlabeled_loss_share = 1.0 - labeled_loss_share
 
@@ -113,20 +107,25 @@ def make_teacher_student_train_step(
         logit_scale = params["logit_scale"]
         ts_logit_scale = params["ts_logit_scale"]
 
-        labeled = batch["labeled"]
-        video_emb, bn_l = _encode_video_train(student, params["encoder"],
-                                              labeled["video_student"])
-        text_emb = student.encode_text(params["encoder"], labeled["text_student"])
-        labeled_loss = nce_loss(_scores(video_emb, text_emb, logit_scale))
-
-        unlabeled = batch["unlabeled"]
+        labeled, unlabeled = batch["labeled"], batch["unlabeled"]
         student_text = (student_prompt_ids if student_prompt_ids is not None
                         else unlabeled["text_student"])
         teacher_text = (teacher_prompt_ids if teacher_prompt_ids is not None
                         else unlabeled["text_teacher"])
-        u_video, bn_u = _encode_video_train(student, params["encoder"],
-                                            unlabeled["video_student"])
-        u_text = student.encode_text(params["encoder"], student_text)
+
+        n_video = labeled["video_student"].shape[0]
+        n_text = labeled["text_student"].shape[0]
+        all_video = jnp.concatenate([labeled["video_student"],
+                                     unlabeled["video_student"]], axis=0)
+        all_text = jnp.concatenate([labeled["text_student"],
+                                    jnp.asarray(student_text)], axis=0)
+        all_video_emb, bn_updates = _encode_video_train(
+            student, params["encoder"], all_video)
+        all_text_emb = student.encode_text(params["encoder"], all_text)
+        video_emb, u_video = all_video_emb[:n_video], all_video_emb[n_video:]
+        text_emb, u_text = all_text_emb[:n_text], all_text_emb[n_text:]
+        labeled_loss = nce_loss(_scores(video_emb, text_emb, logit_scale))
+
         t_video = teacher.encode_video(teacher_params, unlabeled["video_teacher"])
         t_text = teacher.encode_text(teacher_params, teacher_text)
         t_video = jax.lax.stop_gradient(t_video)
@@ -144,7 +143,7 @@ def make_teacher_student_train_step(
         total = labeled_loss_share * labeled_loss + unlabeled_loss_share * unlabeled_loss
         return total, ({"loss/train_labeled": labeled_loss,
                         "loss/train_unlabeled": unlabeled_loss},
-                       _merge_bn_updates(student, params["encoder"], bn_l, bn_u))
+                       bn_updates)
 
     def step(state: TrainState, teacher_params, batch: Batch):
         (total, (aux, bn_updates)), grads = jax.value_and_grad(loss, has_aux=True)(

@@ -129,42 +129,56 @@ def test_contrastive_train_step_updates_rn(tiny_rn_config):
     assert int(new_state2.step) == 2
 
 
-def test_sequential_bn_merge_matches_torch_two_updates():
-    """The teacher-student step sees two sub-batches; running stats must end
-    where torch would after two sequential train-mode forwards."""
-    import torch
-
+def test_teacher_student_step_uses_combined_batch_bn(tiny_rn_config):
+    """The teacher-student step runs the student ONCE over the concatenated
+    labeled+unlabeled batch (reference teacher_student.py:95), so a BN
+    student's running stats after the step equal one combined-batch EMA
+    update — not two sequential half-batch updates."""
+    import jax
     import jax.numpy as jnp
-    from fitclip_tpu.models.clip.resnet import BatchNorm
     from fitclip_tpu.models.clip.resnet_clip import ResNetClipVideoTextEncoder
+    from fitclip_tpu.training.state import init_train_state, make_optimizer
+    from fitclip_tpu.training.steps import make_teacher_student_train_step
+
+    encoder = ResNetClipVideoTextEncoder(tiny_rn_config, num_frames=2)
+    params = encoder.init_params(jax.random.PRNGKey(0))
+    teacher_params = encoder.init_params(jax.random.PRNGKey(1))
+
+    template = {"encoder": params, "logit_scale": np.zeros((1,), np.float32),
+                "ts_logit_scale": np.zeros((1,), np.float32)}
+    optimizer = make_optimizer(1e-3, freeze_patterns=list(
+        encoder.bn_freeze_patterns), params_example=template)
+    state = init_train_state(params, optimizer, with_teacher_student_scale=True)
 
     rng = np.random.default_rng(3)
-    x1 = rng.normal(size=(4, 3, 3, 2)).astype(np.float32)
-    x2 = rng.normal(loc=1.5, size=(4, 3, 3, 2)).astype(np.float32)
-    params = {"weight": np.ones(2, np.float32), "bias": np.zeros(2, np.float32),
-              "running_mean": rng.normal(size=2).astype(np.float32),
-              "running_var": rng.uniform(0.5, 2, size=2).astype(np.float32)}
 
-    module = BatchNorm(2, use_batch_stats=True)
-    _, m1 = module.apply({"params": params}, jnp.asarray(x1), mutable=["bn_stats"])
-    _, m2 = module.apply({"params": params}, jnp.asarray(x2), mutable=["bn_stats"])
-    merged = ResNetClipVideoTextEncoder.sequential_bn_merge(
-        params, m1["bn_stats"], m2["bn_stats"])
+    def sub(loc):
+        return {
+            "video_student": jnp.asarray(rng.integers(
+                0, 256, size=(2, 2, 32, 32, 3), dtype=np.uint8)),
+            "text_student": jnp.asarray(rng.integers(1, 63, size=(2, 8))
+                                        .astype(np.int32)),
+            "video_teacher": jnp.asarray(rng.integers(
+                0, 256, size=(2, 2, 32, 32, 3), dtype=np.uint8)),
+            "text_teacher": jnp.asarray(rng.integers(1, 63, size=(2, 8))
+                                        .astype(np.int32)),
+        }
 
-    t_bn = torch.nn.BatchNorm2d(2)
-    with torch.no_grad():
-        t_bn.weight.copy_(torch.ones(2))
-        t_bn.bias.copy_(torch.zeros(2))
-        t_bn.running_mean.copy_(torch.from_numpy(params["running_mean"]))
-        t_bn.running_var.copy_(torch.from_numpy(params["running_var"]))
-    t_bn.train()
-    t_bn(torch.from_numpy(x1).permute(0, 3, 1, 2))
-    t_bn(torch.from_numpy(x2).permute(0, 3, 1, 2))
+    batch = {"labeled": sub(0), "unlabeled": sub(1)}
+    step = jax.jit(make_teacher_student_train_step(encoder, encoder, optimizer))
+    new_state, metrics = step(state, teacher_params, batch)
+    assert np.isfinite(float(metrics["loss/train"]))
 
-    np.testing.assert_allclose(np.asarray(merged["mean"][0]),
-                               t_bn.running_mean.numpy(), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(merged["var"][0]),
-                               t_bn.running_var.numpy(), atol=1e-6)
+    combined = np.concatenate([batch["labeled"]["video_student"],
+                               batch["unlabeled"]["video_student"]], axis=0)
+    _, bn_updates = encoder.encode_video_train(params, jnp.asarray(combined))
+    expected = encoder.apply_bn_updates(params, bn_updates)
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["encoder"]["visual"]["bn1"]["running_mean"]),
+        np.asarray(expected["visual"]["bn1"]["running_mean"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["encoder"]["visual"]["bn1"]["running_var"]),
+        np.asarray(expected["visual"]["bn1"]["running_var"]), atol=1e-6)
 
 
 def test_fused_block_teacher_allowed_for_training(tiny_rn_config):
