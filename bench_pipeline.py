@@ -11,7 +11,10 @@ clips/s measured in the same process — 1.0 means decode fully hides.
 
 Env knobs: BENCH_CLIPS (videos, default 256), BENCH_BATCH (default 64),
 BENCH_THREADS (default cpu_count), BENCH_DTYPE (int8|bf16, default int8),
-BENCH_VIDEO_DIR (reuse an existing directory of videos).
+BENCH_VIDEO_DIR (reuse an existing directory of videos), BENCH_SHORT_SIDE
+(decode-time swscale downscale, e.g. 224 — the production
+++data.decode_short_side knob), BENCH_RES (source video size WxH,
+default 320x240).
 """
 
 import json
@@ -61,15 +64,19 @@ def main() -> None:
     batch_size = int(os.environ.get("BENCH_BATCH", "64"))
     num_threads = int(os.environ.get("BENCH_THREADS", str(os.cpu_count() or 8)))
     bench_dtype = os.environ.get("BENCH_DTYPE", "int8")
+    short_side = int(os.environ.get("BENCH_SHORT_SIDE", "0")) or None
+    res = os.environ.get("BENCH_RES", "320x240")
+    size = tuple(int(v) for v in res.split("x"))
 
     video_dir = os.environ.get("BENCH_VIDEO_DIR")
     if video_dir and os.path.isdir(video_dir) and os.listdir(video_dir):
         pass
     else:
-        video_dir = os.path.join(tempfile.gettempdir(), f"fitclip_bench_videos_{num_clips}")
+        video_dir = os.path.join(tempfile.gettempdir(),
+                                 f"fitclip_bench_videos_{num_clips}_{res}")
         os.makedirs(video_dir, exist_ok=True)
         if len(os.listdir(video_dir)) < num_clips:
-            _write_videos(video_dir, num_clips)
+            _write_videos(video_dir, num_clips, size=size)
 
     quantized = bench_dtype == "int8"
     encoder = ClipVideoTextEncoder(CLIPConfig.vit_b_16(), num_frames=4,
@@ -102,7 +109,8 @@ def main() -> None:
             return 0
 
     paths = sorted(os.path.join(video_dir, f) for f in os.listdir(video_dir))[:num_clips]
-    dataset = BenchDataset(paths, pipelines=build_pipeline(encoder, train=False))
+    dataset = BenchDataset(paths, pipelines=build_pipeline(encoder, train=False),
+                           decode_short_side=short_side)
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
                         drop_last=True, num_threads=num_threads,
                         prefetch_batches=4,
@@ -154,6 +162,8 @@ def main() -> None:
         "pipeline_fraction": round(best_pipeline / model_only, 3),
         "num_threads": num_threads,
         "host_cpus": os.cpu_count(),
+        "short_side": short_side,
+        "source_res": res,
     }))
 
 

@@ -186,9 +186,14 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
         metrics = result["metrics"]
     elif command in ("evaluate", "validate", "test"):
         split = "test" if command == "test" else "val"
-        eval_single = (lambda enc, dm: run_classification_eval(enc, dm, split=split)
+        # quant: {calibration_batches: K, scales_path: file.npz} — int8
+        # post-training calibration over K batches, optionally persisted.
+        quant_cfg = cfg.get("quant")
+        eval_single = (lambda enc, dm: run_classification_eval(
+                           enc, dm, split=split, quant_cfg=quant_cfg)
                        if _is_classification(dm)
-                       else run_retrieval_eval(enc, dm, split=split))
+                       else run_retrieval_eval(enc, dm, split=split,
+                                               quant_cfg=quant_cfg))
         metrics = eval_single(encoder_slot, data_module)
         print(json.dumps(metrics, indent=2))
     elif command == "predict":

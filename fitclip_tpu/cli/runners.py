@@ -7,7 +7,8 @@ eval (text_video_retrieval.py:30-37 naming: r1_{dataset} etc.).
 """
 
 import logging
-from typing import Any, Dict, List, Mapping, Optional
+import os
+from typing import Any, Dict, List, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,22 +78,54 @@ def _shard_mapped(step, encoder, mesh, num_batch_args: int):
         return shard_map(step, check_rep=False, **kwargs)
 
 
-def _maybe_calibrate(encoder, params, video, text=None):
-    """int8 encoders get their activation scales calibrated on the first REAL
-    eval batch (post-training quantization on the true data distribution)."""
-    if getattr(encoder, "quantized", False) and hasattr(encoder, "calibrate"):
-        LOGGER.info("Calibrating int8 activation scales on the first batch")
-        return encoder.calibrate(params, video, text)
-    return params
+def _load_persisted_scales(encoder, params, quant_cfg) -> Tuple[Any, bool]:
+    """If quant.scales_path exists, restore persisted activation scales and
+    skip calibration. Returns (params, calibrated)."""
+    scales_path = (quant_cfg or {}).get("scales_path")
+    if scales_path and os.path.exists(scales_path):
+        from fitclip_tpu.ops.quant import load_act_scales
+
+        LOGGER.info("Loading persisted int8 activation scales from %s", scales_path)
+        return load_act_scales(scales_path, jax.device_get(params)), True
+    return params, False
+
+
+def _calibrate_on_batches(encoder, params, observations, quant_cfg):
+    """Post-training quantization over K eval batches: running abs-max across
+    all observations (each an (video, text) pair), one scale write. A single
+    skewed batch no longer owns the scales (VERDICT r2 weak #6)."""
+    from fitclip_tpu.ops.quant import apply_act_scales, merge_act_amax, save_act_scales
+
+    amax = None
+    for video, text in observations:
+        amax = merge_act_amax(amax,
+                              encoder.collect_act_amax(params, video, text))
+    host_params = apply_act_scales(jax.device_get(params), amax)
+    scales_path = (quant_cfg or {}).get("scales_path")
+    if scales_path:
+        save_act_scales(scales_path, host_params)
+        LOGGER.info("Persisted int8 activation scales to %s", scales_path)
+    LOGGER.info("Calibrated int8 activation scales on %d batch(es)",
+                len(observations))
+    return host_params
 
 
 def run_retrieval_eval(loaded: LoadedEncoder, data_module,
-                       mesh=None, split: str = "val") -> Dict[str, float]:
+                       mesh=None, split: str = "val",
+                       quant_cfg: Optional[Mapping[str, Any]] = None
+                       ) -> Dict[str, float]:
     """Zero-shot text->video retrieval (command=evaluate/validate/test;
     command=test routes to the test split, reference __main__.py:64-69)."""
+    import itertools
+
     mesh = mesh or create_mesh()
     encoder = loaded.encoder
-    params = jax.device_put(loaded.params, replicated(mesh))
+    calibrated = not getattr(encoder, "quantized", False)
+    host_params = loaded.params
+    if not calibrated:
+        host_params, calibrated = _load_persisted_scales(encoder, host_params,
+                                                         quant_cfg)
+    params = jax.device_put(host_params, replicated(mesh))
 
     def _eval_step(params, video, text):
         v = encoder.encode_video(params, video).astype(jnp.float32)
@@ -101,22 +134,31 @@ def run_retrieval_eval(loaded: LoadedEncoder, data_module,
 
     eval_step = jax.jit(_shard_mapped(_eval_step, encoder, mesh, 2))
 
+    def video_text(batch):
+        device_batch, valid = split_device_batch(batch)
+        sharded, valid = shard_eval_batch(device_batch, mesh)
+        # Dual-preprocessed (teacher-student) batches: evaluate the
+        # student view (reference validates on the student tower,
+        # teacher_student.py:142-173).
+        return (sharded.get("video", sharded.get("video_student")),
+                sharded.get("text", sharded.get("text_student")), valid)
+
     results: Dict[str, float] = {}
-    calibrated = not getattr(encoder, "quantized", False)
     for name, loader in _loaders_with_names(data_module, split):
         evaluator = RetrievalEvaluator()
-        for batch in loader:
-            device_batch, _ = split_device_batch(batch)
-            sharded, valid = shard_eval_batch(device_batch, mesh)
-            # Dual-preprocessed (teacher-student) batches: evaluate the
-            # student view (reference validates on the student tower,
-            # teacher_student.py:142-173).
-            video = sharded.get("video", sharded.get("video_student"))
-            text = sharded.get("text", sharded.get("text_student"))
-            if not calibrated:
-                params = jax.device_put(_maybe_calibrate(encoder, params, video, text),
-                                        replicated(mesh))
-                calibrated = True
+        batch_iter = iter(loader)
+        if not calibrated:
+            k = max(1, int((quant_cfg or {}).get("calibration_batches", 4)))
+            head = list(itertools.islice(batch_iter, k))
+            params = jax.device_put(
+                _calibrate_on_batches(
+                    encoder, params,
+                    [video_text(b)[:2] for b in head], quant_cfg),
+                replicated(mesh))
+            calibrated = True
+            batch_iter = itertools.chain(head, batch_iter)
+        for batch in batch_iter:
+            video, text, valid = video_text(batch)
             v, t = eval_step(params, video, text)
             evaluator.update(v, t, valid=valid)
         metrics = evaluator.compute()
@@ -127,11 +169,20 @@ def run_retrieval_eval(loaded: LoadedEncoder, data_module,
 
 def run_classification_eval(loaded: LoadedEncoder, data_module, mesh=None,
                             per_class: bool = False,
-                            split: str = "val") -> Dict[str, float]:
+                            split: str = "val",
+                            quant_cfg: Optional[Mapping[str, Any]] = None
+                            ) -> Dict[str, float]:
     """Zero-shot classification (video_text_classification.py semantics)."""
+    import itertools
+
     mesh = mesh or create_mesh()
     encoder = loaded.encoder
-    params = jax.device_put(loaded.params, replicated(mesh))
+    calibrated = not getattr(encoder, "quantized", False)
+    host_params = loaded.params
+    if not calibrated:
+        host_params, calibrated = _load_persisted_scales(encoder, host_params,
+                                                         quant_cfg)
+    params = jax.device_put(host_params, replicated(mesh))
 
     categories = data_module.categories
     labels = [name for name, _ in sorted(categories.items(), key=lambda kv: kv[1])]
@@ -141,12 +192,22 @@ def run_classification_eval(loaded: LoadedEncoder, data_module, mesh=None,
     loader = (data_module.test_dataloader() if split == "test"
               else data_module.val_dataloader())
     batches = iter(loader)
-    first = next(batches, None)
-    if first is not None and getattr(encoder, "quantized", False):
-        first_video, _ = split_device_batch(first)
-        params = jax.device_put(
-            _maybe_calibrate(encoder, params, jnp.asarray(first_video["video"]),
-                             jnp.asarray(tokenized[:32])), replicated(mesh))
+    head: List[Any] = []
+    if not calibrated:
+        k = max(1, int((quant_cfg or {}).get("calibration_batches", 4)))
+        head = list(itertools.islice(batches, k))
+        observations = []
+        for i, batch in enumerate(head):
+            batch_video, _ = split_device_batch(batch)
+            # The text tower calibrates on a slice of the real label bank.
+            observations.append((jnp.asarray(batch_video["video"]),
+                                 jnp.asarray(tokenized[i * 32:(i + 1) * 32])
+                                 if i * 32 < len(tokenized) else None))
+        if observations:
+            params = jax.device_put(
+                _calibrate_on_batches(encoder, params, observations, quant_cfg),
+                replicated(mesh))
+        calibrated = True
 
     label_bank = encode_label_bank(encoder, params, tokenized, num_labels=len(labels))
 
@@ -155,9 +216,8 @@ def run_classification_eval(loaded: LoadedEncoder, data_module, mesh=None,
         encoder, mesh, 1))
 
     evaluator = ClassificationEvaluator(label_bank=label_bank, per_class=per_class)
-    import itertools
 
-    for batch in itertools.chain([first] if first is not None else [], batches):
+    for batch in itertools.chain(head, batches):
         device_batch, _ = split_device_batch(batch)
         sharded, valid = shard_eval_batch(device_batch, mesh)
         v = encode_video(params, sharded["video"])

@@ -73,12 +73,22 @@ def _map_over_encoders(encoder: EncoderOrMap, fn):
 class VideoDataModule(ABC):
     def __init__(self, encoder: EncoderOrMap, batch_size: Optional[int] = 1,
                  eval_batch_size: Optional[int] = 32, num_threads: int = 8,
-                 seed: int = 42) -> None:
+                 seed: int = 42,
+                 decode_short_side: Optional[int] = None,
+                 eval_frame_cache_dir: Optional[str] = None) -> None:
         self.encoder = encoder
         self.batch_size = batch_size
         self.eval_batch_size = eval_batch_size
         self.num_threads = num_threads
         self.seed = seed
+        # Decode-time aspect-preserving downscale (swscale in the native
+        # decoder). Opt-in: ++data.decode_short_side=256 — see
+        # VideoReader.from_path for the parity note.
+        self.decode_short_side = decode_short_side
+        # Opt-in transformed-frame cache for repeated eval sweeps
+        # (++data.eval_frame_cache_dir=...); eval loaders only — train
+        # pipelines are stochastic per epoch.
+        self.eval_frame_cache_dir = eval_frame_cache_dir
 
     def _pipelines(self, train: bool):
         return _map_over_encoders(self.encoder, lambda e: build_pipeline(e, train))
@@ -90,7 +100,10 @@ class VideoDataModule(ABC):
         return pads
 
     def _dataset_kwargs(self, train: bool) -> Dict[str, Any]:
-        return {"pipelines": self._pipelines(train), "pad_batch": self._pad_batch()}
+        return {"pipelines": self._pipelines(train),
+                "pad_batch": self._pad_batch(),
+                "decode_short_side": self.decode_short_side,
+                "frame_cache_dir": None if train else self.eval_frame_cache_dir}
 
     def _collator(self) -> Collator:
         return Collator(tokenizers=None, pad_batch=self._pad_batch())

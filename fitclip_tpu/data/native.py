@@ -8,11 +8,12 @@ falls back to the OpenCV reader automatically when unavailable.
 import ctypes
 import logging
 import os
-from typing import Sequence, Union
+from typing import Optional, Sequence, Union
 
 import numpy as np
 
-from fitclip_tpu.data.video_reader import VideoReader, _nearest_indices
+from fitclip_tpu.data.video_reader import (VideoReader, _nearest_indices,
+                                           scaled_size)
 
 LOGGER = logging.getLogger(__name__)
 
@@ -24,6 +25,8 @@ def _load_library() -> ctypes.CDLL:
     lib = ctypes.CDLL(_LIB_PATH)
     lib.vd_open.restype = ctypes.c_void_p
     lib.vd_open.argtypes = [ctypes.c_char_p]
+    lib.vd_open_scaled.restype = ctypes.c_void_p
+    lib.vd_open_scaled.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.vd_num_frames.restype = ctypes.c_int
     lib.vd_num_frames.argtypes = [ctypes.c_void_p]
     lib.vd_avg_fps.restype = ctypes.c_double
@@ -53,10 +56,15 @@ class NativeVideoReader(VideoReader):
     """Indexed reads through the C++ decoder; decord-compatible error
     tolerance (zeros instead of raising) and timestamp-based seeks."""
 
-    def __init__(self, path, resize_hw=None) -> None:
+    def __init__(self, path, resize_hw=None,
+                 short_side: Optional[int] = None) -> None:
         super().__init__(path)
         self.resize_hw = resize_hw  # optional (h, w) swscale-while-decoding
-        self._handle = _LIB.vd_open(str(path).encode())
+        self.short_side = short_side  # aspect-preserving downscale-at-decode
+        # short_side also engages lowres (DCT-domain) decoding for codecs
+        # that support it — see native/video_decoder.cpp vd_open_scaled.
+        self._handle = _LIB.vd_open_scaled(str(path).encode(),
+                                           int(short_side or 0))
         if not self._handle:
             LOGGER.error("An error occurred when trying to load the video "
                          "with path %s.", self.path)
@@ -72,6 +80,14 @@ class NativeVideoReader(VideoReader):
                 w = ctypes.c_int()
                 _LIB.vd_frame_size(self._handle, ctypes.byref(h), ctypes.byref(w))
                 height, width = h.value, w.value
+                # Engage decode-time scaling only when the source is >= 2x
+                # the target short side: there the lowres DCT decode and/or
+                # the much-smaller swscale output pay for themselves
+                # (measured 153 -> 99 ms/clip at 720p MJPG). Below 2x, a 1:1
+                # conversion + the transform's SIMD cv2 resize is faster than
+                # a bicubic swscale (measured 12.4 vs 15.5 ms/clip at 320p).
+                if self.short_side and min(height, width) >= 2 * self.short_side:
+                    height, width = scaled_size(height, width, self.short_side)
             out = np.empty((len(indices_arr), height, width, 3), dtype=np.uint8)
             code = _LIB.vd_get_frames(
                 self._handle,

@@ -48,10 +48,20 @@ class VideoDataset(ABC):
     def __init__(self, video_paths: Sequence,
                  pipelines: Union[FramePipeline, Mapping[str, FramePipeline]],
                  video_key_name: str = "video", target_key_name: str = "target",
-                 pad_batch: bool = True) -> None:
+                 pad_batch: bool = True,
+                 decode_short_side: Optional[int] = None,
+                 frame_cache_dir: Optional[str] = None) -> None:
         self.video_paths = list(video_paths)
         self.target_key_name = target_key_name
         self.pad_batch = pad_batch
+        self.decode_short_side = decode_short_side
+        # Opt-in decoded-frame cache for repeated DETERMINISTIC eval sweeps
+        # (e.g. evaluate_per_epoch over many checkpoints): transformed frames
+        # per (video file, pipeline key) are .npy'd so later sweeps skip
+        # decode + transform entirely. Keys cover file identity (path, mtime,
+        # size) and decode geometry, NOT the transform config — use one cache
+        # dir per eval configuration.
+        self.frame_cache_dir = frame_cache_dir
         if isinstance(pipelines, Mapping):
             self.pipelines = {f"{video_key_name}_{k}": v for k, v in pipelines.items()}
         else:
@@ -68,16 +78,40 @@ class VideoDataset(ABC):
         """Clip start/end times (YouCook2-style segment datasets override)."""
         return None, None
 
+    def _cache_path(self, path, key: str) -> str:
+        import hashlib
+
+        try:
+            stat = os.stat(path)
+            identity = f"{os.path.abspath(path)}|{stat.st_mtime_ns}|{stat.st_size}"
+        except OSError:
+            identity = os.path.abspath(str(path))
+        digest = hashlib.sha1(
+            f"{identity}|{key}|{self.decode_short_side}".encode()).hexdigest()
+        return os.path.join(self.frame_cache_dir, f"{digest}.npy")
+
     def __getitem__(self, video_idx: int,
                     rng: Optional[np.random.Generator] = None) -> Dict[str, Any]:
         rng = rng or np.random.default_rng()
         path = self.video_paths[video_idx]
-        reader = VideoReader.from_path(path)
 
-        start_time, end_time = self._get_times(video_idx)
-        start_frame = 0 if start_time is None else int(reader.time_to_indices(start_time))
-        end_frame = (len(reader) - 1 if end_time is None
-                     else int(reader.time_to_indices(end_time)))
+        # The reader opens lazily: a fully cache-hit item never demuxes the
+        # file (the open itself builds a frame index, a real cost per clip).
+        reader: Optional[VideoReader] = None
+        frame_range: Optional[Tuple[int, int]] = None
+
+        def get_reader() -> VideoReader:
+            nonlocal reader, frame_range
+            if reader is None:
+                reader = VideoReader.from_path(path,
+                                               short_side=self.decode_short_side)
+                start_time, end_time = self._get_times(video_idx)
+                start = (0 if start_time is None
+                         else int(reader.time_to_indices(start_time)))
+                end = (len(reader) - 1 if end_time is None
+                       else int(reader.time_to_indices(end_time)))
+                frame_range = (start, end)
+            return reader
 
         item: Dict[str, Any] = {
             self.target_key_name: self._get_target(video_idx, rng=rng)
@@ -85,10 +119,24 @@ class VideoDataset(ABC):
             "video_id": self._get_video_id(video_idx),
         }
         for key, pipeline in self.pipelines.items():
+            cache_file = (self._cache_path(path, key)
+                          if self.frame_cache_dir else None)
+            if cache_file and os.path.exists(cache_file):
+                item[key] = np.load(cache_file)
+                continue
+            r = get_reader()
+            start_frame, end_frame = frame_range
             indices = pipeline.sampler(start_frame, end_frame,
-                                       fps=reader.get_avg_fps(), rng=rng)
-            frames = reader(indices)
+                                       fps=r.get_avg_fps(), rng=rng)
+            frames = r(indices)
             item[key] = pipeline.transform(frames, rng)
+            if cache_file:
+                os.makedirs(self.frame_cache_dir, exist_ok=True)
+                # Atomic publish: concurrent loader threads/processes may
+                # race on the same clip.
+                tmp = f"{cache_file}.{os.getpid()}.tmp.npy"
+                np.save(tmp, item[key])
+                os.replace(tmp, cache_file)
         return item
 
     def __len__(self) -> int:

@@ -115,16 +115,13 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         b, t = video.shape[0], video.shape[1]
         return video.reshape(b * t, *video.shape[2:])
 
-    def calibrate(self, params, video: jnp.ndarray,
-                  text: Optional[jnp.ndarray] = None,
-                  margin: float = 1.0):
-        """Post-training quantization calibration: run both towers in
-        DYNAMIC-quant mode on sample data (accurate intermediates), collect
-        the sown activation abs-maxes and write them into the act_scale
-        leaves. Returns the calibrated params tree."""
-        from fitclip_tpu.ops.quant import apply_act_scales
-
-        assert self.quantized, "calibrate() requires a quantized encoder"
+    def collect_act_amax(self, params, video: jnp.ndarray,
+                         text: Optional[jnp.ndarray] = None):
+        """One calibration observation: run both towers in DYNAMIC-quant mode
+        (accurate intermediates) and return the sown activation abs-max tree.
+        Merge several observations with ops.quant.merge_act_amax for
+        multi-batch calibration."""
+        assert self.quantized, "calibration requires a quantized encoder"
         dynamic_model = CLIPModel(self.config, dtype=self.model.dtype,
                                   remat=self.model.remat,
                                   fused_attention=self.model.fused_attention,
@@ -139,7 +136,18 @@ class ClipVideoTextEncoder(VideoTextEncoder):
                                                 method=CLIPModel.encode_text,
                                                 mutable=["intermediates"])
             intermediates.update(dict(text_state["intermediates"]))
-        return apply_act_scales(params, intermediates, margin=margin)
+        return intermediates
+
+    def calibrate(self, params, video: jnp.ndarray,
+                  text: Optional[jnp.ndarray] = None,
+                  margin: float = 1.0):
+        """Post-training quantization calibration on one batch: collect the
+        activation abs-maxes and write them into the act_scale leaves.
+        Returns the calibrated params tree."""
+        from fitclip_tpu.ops.quant import apply_act_scales
+
+        return apply_act_scales(
+            params, self.collect_act_amax(params, video, text), margin=margin)
 
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
         if self.fused_block:

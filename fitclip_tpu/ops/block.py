@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fitclip_tpu.ops.quant import QUANT_EPS
 
 LN_EPS = 1e-5
+LOG2E = 1.4426950408889634
 
 
 def _ln(x32, scale_ref, bias_ref):
@@ -105,8 +106,10 @@ def _layer_kernel(x_ref, invs_ref,
                   ln1_s_ref, ln1_b_ref, wq_ref, qs_ref, qb_ref,
                   wo_ref, os_ref, ob_ref,
                   ln2_s_ref, ln2_b_ref, wf_ref, fs_ref, fb_ref,
+                  fs2_ref, fb2_ref, kv_ref,
                   wp_ref, ps_ref, pb_ref, y_ref, *,
-                  heads: int, causal: bool, quick_gelu: bool):
+                  heads: int, causal: bool, quick_gelu: bool,
+                  approx_recip: bool = True):
     x = x_ref[...]
     x32 = x.astype(jnp.float32)
     width = x.shape[-1]
@@ -121,12 +124,30 @@ def _layer_kernel(x_ref, invs_ref,
 
     # --- MLP half ---
     h2_q = _quant(_ln(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
-    h = _int8_dense(h2_q, wf_ref, fs_ref, fb_ref)
     if quick_gelu:
-        h = h * jax.nn.sigmoid(1.702 * h)
+        # Folded fc epilogue (measured 7.45 -> 6.6-6.75 ms/layer at ViT-B/16
+        # eval shape, cosine 0.999998 — BASELINE.md round-3): the requant
+        # multiplier inv_p rides the dequant scale (fs2 = fs*inv_p, fb2 =
+        # fb*inv_p, so t = gelu-input * inv_p directly), QuickGELU becomes
+        # g(h)*inv_p = t / (1 + exp2(t*k)) with k = -1.702*log2e/inv_p folded
+        # outside the kernel, the divide is a HW approx reciprocal, and one
+        # round/clip pass finishes the requant — ~10 fp32 VPU passes over
+        # (L, 4W) instead of ~14, with exp2 the only transcendental.
+        acc = jax.lax.dot_general(
+            h2_q, wf_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        t = acc.astype(jnp.float32) * fs2_ref[...][0] + fb2_ref[...][0]
+        e = jnp.exp2(t * kv_ref[...][0])
+        # On TPU the approx reciprocal is the measured win; the interpret
+        # fallback for approx=True round-trips through bf16 (far coarser
+        # than the HW instruction), so CPU tests take the exact divide.
+        g = (t * pl.reciprocal(1.0 + e, approx=True) if approx_recip
+             else t / (1.0 + e))
+        h_q = jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8)
     else:
+        h = _int8_dense(h2_q, wf_ref, fs_ref, fb_ref)
         h = jax.nn.gelu(h, approximate=False)
-    h_q = _quant(h, invs_ref[0, 3])
+        h_q = _quant(h, invs_ref[0, 3])
     x32 = x32 + _int8_dense(h_q, wp_ref, ps_ref, pb_ref)
     y_ref[...] = x32.astype(y_ref.dtype)
 
@@ -276,6 +297,13 @@ def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
     wp, ps, pb, inv_p = _dense_operands(layer["mlp_proj"])
     invs = jnp.stack([inv_q, inv_o, inv_f, inv_p]).reshape(1, 4)
 
+    # Folded-epilogue operands (see _layer_kernel's MLP half): dequant and
+    # requant collapse into one affine, the QuickGELU exponent constant
+    # arrives as a lane-wide vector (Mosaic can't double-broadcast scalars).
+    fs2 = fs * inv_p
+    fb2 = fb * inv_p
+    kv = jnp.full(fs.shape, 1.0, jnp.float32) * (-1.702 * LOG2E / inv_p)
+
     def ln_vec(name, leaf):
         return layer[name]["ln"][leaf].astype(jnp.float32).reshape(1, -1)
 
@@ -284,8 +312,9 @@ def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
         ln_vec("ln_1", "scale"), ln_vec("ln_1", "bias"), wq, qs, qb,
         wo, osc, ob,
         ln_vec("ln_2", "scale"), ln_vec("ln_2", "bias"), wf, fs, fb,
+        fs2, fb2, kv,
         wp, ps, pb,
     ]
     kernel = functools.partial(_layer_kernel, heads=heads, causal=causal,
-                               quick_gelu=quick_gelu)
+                               quick_gelu=quick_gelu, approx_recip=not interpret)
     return _launch(kernel, operands, block_rows, interpret, smem_idx=(1,))

@@ -113,6 +113,47 @@ def quantize_clip_params(params) -> Any:
     return walk(params)
 
 
+def merge_act_amax(a, b):
+    """Elementwise-max merge of two sown act-amax trees (running abs-max over
+    calibration batches). Either side may be None."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jax.tree_util.tree_map(lambda x, y: np.maximum(np.asarray(x),
+                                                          np.asarray(y)), a, b)
+
+
+def _act_scale_items(params, prefix=""):
+    for key, value in params.items():
+        path = f"{prefix}{key}"
+        if isinstance(value, dict):
+            if "act_scale" in value:
+                yield path, value
+            else:
+                yield from _act_scale_items(value, path + "/")
+
+
+def save_act_scales(path: str, params) -> None:
+    """Persist the calibrated activation scales (only) to an .npz so a later
+    run can skip calibration entirely."""
+    arrays = {p: np.asarray(node["act_scale"], np.float32)
+              for p, node in _act_scale_items(params)}
+    np.savez(path, **arrays)
+
+
+def load_act_scales(path: str, params):
+    """Write persisted activation scales back into a quantized params tree.
+    Raises KeyError if the file doesn't cover every quantized dense (scales
+    from a different architecture must not half-apply)."""
+    loaded = np.load(path)
+    params = jax.tree_util.tree_map(np.asarray, params)
+    for p, node in _act_scale_items(params):
+        node["act_scale"] = np.asarray(loaded[p], np.float32).reshape(
+            node["act_scale"].shape)
+    return params
+
+
 def apply_act_scales(params, intermediates, margin: float = 1.0):
     """Write calibration-observed activation abs-maxes into the act_scale
     leaves. `intermediates` is the flax sow tree from a dynamic-quant forward

@@ -86,7 +86,12 @@ int prev_keyframe(const Decoder* d, int frame) {
 
 extern "C" {
 
-void* vd_open(const char* path) {
+// target_short_side > 0 enables decode-time downscaling: when the codec
+// supports lowres (DCT-domain decode at 1/2^k scale — MJPEG and friends; a
+// large fraction of the JPEG IDCT work simply never happens), pick the
+// largest k that keeps the decoded short side >= target; the per-frame
+// swscale pass then finishes the job at the (much smaller) decoded size.
+void* vd_open_scaled(const char* path, int target_short_side) {
   // Quiet libav chatter (e.g. swscale's per-frame deprecated-pixel-format
   // warning on yuvj streams); real failures surface as nullptr returns that
   // the Python layer logs and zero-fills.
@@ -113,6 +118,19 @@ void* vd_open(const char* path) {
   d->codec_ctx = avcodec_alloc_context3(codec);
   avcodec_parameters_to_context(d->codec_ctx, stream->codecpar);
   d->codec_ctx->thread_count = 1;  // one worker thread per reader (decord parity)
+  // vd_frame_size reports NATIVE geometry (from the container) regardless of
+  // any lowres decode — callers compute output sizes from it.
+  d->width = stream->codecpar->width;
+  d->height = stream->codecpar->height;
+  if (target_short_side > 0 && codec->max_lowres > 0) {
+    int short_side = std::min(d->width, d->height);
+    int lowres = 0;
+    while (lowres < codec->max_lowres &&
+           (short_side >> (lowres + 1)) >= target_short_side) {
+      ++lowres;
+    }
+    d->codec_ctx->lowres = lowres;
+  }
   if (avcodec_open2(d->codec_ctx, codec, nullptr) < 0) {
     avcodec_free_context(&d->codec_ctx);
     avformat_close_input(&d->format_ctx);
@@ -123,8 +141,6 @@ void* vd_open(const char* path) {
   d->avg_fps = stream->avg_frame_rate.den
                    ? av_q2d(stream->avg_frame_rate)
                    : 0.0;
-  d->width = d->codec_ctx->width;
-  d->height = d->codec_ctx->height;
   if (!build_index(d)) {
     avcodec_free_context(&d->codec_ctx);
     avformat_close_input(&d->format_ctx);
@@ -137,6 +153,8 @@ void* vd_open(const char* path) {
   }
   return d;
 }
+
+void* vd_open(const char* path) { return vd_open_scaled(path, 0); }
 
 int vd_num_frames(void* handle) {
   return static_cast<int>(static_cast<Decoder*>(handle)->index.pts.size());
