@@ -172,3 +172,99 @@ def test_fuzz_decode_round_trip_matches_reference(midsize_vocab_path):
     for text in _fuzz_texts(80):
         ids = ours.encode(text)
         assert ours.decode(ids) == theirs.decode(ids)
+
+
+# ---------------------------------------------------------------------------
+# Full-scale parity: a synthetic 48,894-merge vocab (the exact size of the
+# OpenAI release after both implementations' [:49152-256-2] cap) built from
+# word-prefix chains, so real fuzz words fire merge chains 10+ deep. The
+# released file itself is unfetchable here (zero egress); this covers the
+# at-scale behaviors the 1.5k vocab can't: full-depth chains, the merge-count
+# cap, and rank tables 30x larger.
+# ---------------------------------------------------------------------------
+
+FULL_MERGES = 49152 - 256 - 2
+
+
+def _synth_full_scale_merges(rng):
+    from fitclip_tpu.models.clip.tokenizer import bytes_to_unicode
+
+    byte_encoder = bytes_to_unicode()
+    base = list(byte_encoder.values())
+    seen_tokens = set(base) | {b + "</w>" for b in base}
+    seen_pairs = set()
+    merges = []
+
+    def add_word_chain(word: str):
+        symbols = ["".join(byte_encoder[b] for b in ch.encode("utf-8"))
+                   for ch in word]
+        if len(symbols) < 2:
+            return
+        symbols[-1] += "</w>"
+        prefix = symbols[0]
+        for nxt in symbols[1:]:
+            pair, joined = (prefix, nxt), prefix + nxt
+            if pair not in seen_pairs and joined not in seen_tokens:
+                seen_pairs.add(pair)
+                seen_tokens.add(joined)
+                merges.append(pair)
+            prefix = joined
+
+    for word in _WORDS:
+        add_word_chain(word)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    extra = np.array(list("éßñ日本語€"))
+    while len(merges) < FULL_MERGES:
+        length = int(rng.integers(3, 11))
+        chars = rng.choice(letters, size=length).tolist()
+        if rng.random() < 0.05:
+            chars[int(rng.integers(length))] = str(rng.choice(extra))
+        add_word_chain("".join(chars))
+    return merges[:FULL_MERGES]
+
+
+@pytest.fixture(scope="module")
+def fullscale_vocab_path(tmp_path_factory):
+    from fitclip_tpu.models.clip.tokenizer import write_openai_format_vocab
+
+    merges = _synth_full_scale_merges(np.random.default_rng(2))
+    assert len(merges) == FULL_MERGES
+    path = str(tmp_path_factory.mktemp("fullvocab") / "bpe_full_vocab.txt.gz")
+    return write_openai_format_vocab(path, merges)
+
+
+def test_fullscale_vocab_size_matches_release_shape(fullscale_vocab_path):
+    # 256 bytes + 256 byte</w> + 48894 merges + 2 specials = 49408, the CLIP
+    # release vocab size (slip.py builds the same shape from its merges file).
+    ours = ClipTokenizer(bpe_path=fullscale_vocab_path)
+    assert ours.vocab_size == 49408
+
+
+def test_fuzz_parity_vs_reference_at_release_scale(fullscale_vocab_path):
+    theirs = _reference_simple_tokenizer(fullscale_vocab_path)
+    ours = ClipTokenizer(bpe_path=fullscale_vocab_path)
+    assert ours.vocab_size == len(theirs.encoder)
+
+    # Confirm merge chains actually fire so the fuzz isn't vacuous. "the"
+    # owns ranks 0-1, so no other chain can preempt it (greedy BPE takes the
+    # globally lowest rank — a word like "playing" legitimately splits when
+    # "into"'s earlier (i,n) merge outranks its own chain).
+    assert len(ours.encode("the")) == 1
+    # Chain depth: a full in-vocab word encodes far below its character count.
+    assert len(ours.encode("swimming")) <= 5
+
+    mismatches = []
+    for text in _fuzz_texts(400):
+        ref_ids = theirs.encode(text)
+        our_ids = ours.encode(text)
+        if ref_ids != our_ids:
+            mismatches.append((text, ref_ids, our_ids))
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"
+
+
+def test_fullscale_decode_round_trip(fullscale_vocab_path):
+    theirs = _reference_simple_tokenizer(fullscale_vocab_path)
+    ours = ClipTokenizer(bpe_path=fullscale_vocab_path)
+    for text in _fuzz_texts(60):
+        ids = ours.encode(text)
+        assert ours.decode(ids) == theirs.decode(ids)
