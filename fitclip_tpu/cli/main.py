@@ -133,6 +133,13 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
                                          run_retrieval_eval)
     from fitclip_tpu.cli.train_runner import run_train
 
+    # Multi-host entry: bring up the multi-process runtime BEFORE anything
+    # touches the backend (++distributed.coordinator_address=... or
+    # JAX_COORDINATOR_ADDRESS env; "auto" on cloud TPU pods).
+    from fitclip_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed(cfg)
+
     seed_everything(int(cfg.get("seed", 42)))
     command = cfg["command"]
     known = ("train", "evaluate", "validate", "test", "predict", "tune")

@@ -39,6 +39,16 @@ def split_device_batch(batch: Mapping[str, Any]):
 def shard_eval_batch(device_batch, mesh):
     num = mesh.devices.size
     padded, valid = pad_batch_to_divisible(device_batch, num)
+    if jax.process_count() > 1:
+        # Every process decoded the full batch (eval loaders are unsliced);
+        # carve this process's row block and assemble global arrays.
+        from fitclip_tpu.parallel.multihost import (global_batch_from_local,
+                                                    process_local_rows)
+
+        rows = jax.tree_util.tree_leaves(padded)[0].shape[0]
+        block = process_local_rows(rows)
+        local = jax.tree_util.tree_map(lambda x: np.asarray(x)[block], padded)
+        return global_batch_from_local(mesh, local, rows), valid
     sharding = sharded_along(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), padded), valid
 

@@ -50,6 +50,21 @@ def _make_batch_preparer(mesh):
     replicated_sharding = replicated(mesh)
     num_devices = mesh.devices.size
 
+    if jax.process_count() > 1:
+        from fitclip_tpu.parallel.multihost import global_batch_from_local
+
+        def prepare_multihost(batch):
+            # Loaders already delivered only this process's row block; glue
+            # the blocks into global arrays over the full mesh.
+            def convert(node):
+                if isinstance(node, Mapping):
+                    return {k: convert(v) for k, v in node.items()
+                            if isinstance(v, (Mapping, np.ndarray))}
+                return global_batch_from_local(mesh, node)
+            return convert(batch)
+
+        return prepare_multihost
+
     def prepare(batch):
         def convert(node):
             if isinstance(node, Mapping):

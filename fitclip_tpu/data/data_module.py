@@ -109,6 +109,16 @@ class VideoDataModule(ABC):
         return Collator(tokenizers=None, pad_batch=self._pad_batch())
 
     def _create_dataloader(self, dataset: VideoDataset, train: bool, **kwargs) -> DataLoader:
+        # Multi-host: train loaders feed only this process's row block of
+        # each global batch. Eval loaders stay unsliced — shard_eval_batch
+        # carves the local rows at device-put time (duplicate decode across
+        # hosts, but eval order/metrics stay exactly single-host).
+        if train and "process_count" not in kwargs:
+            import jax
+
+            if jax.process_count() > 1:
+                kwargs["process_index"] = jax.process_index()
+                kwargs["process_count"] = jax.process_count()
         return DataLoader(dataset,
                           batch_size=self.batch_size if train else self.eval_batch_size,
                           shuffle=train, drop_last=train, collate=self._collator(),

@@ -71,13 +71,19 @@ class MixedBatchLoader:
 
     def __init__(self, loaders: Mapping[str, DataLoader],
                  sequence_sizes: Mapping[str, int], seed: int = 42,
-                 num_threads: int = 8, prefetch_batches: int = 2) -> None:
+                 num_threads: int = 8, prefetch_batches: int = 2,
+                 process_index: int = 0, process_count: int = 1) -> None:
         self.loaders = dict(loaders)
         self.sequence_sizes = {k: int(sequence_sizes[k]) for k in self.loaders}
         self.seed = seed
         self.epoch = 0
         self.num_threads = max(1, num_threads)
         self.prefetch_batches = prefetch_batches
+        # Multi-host: sequence_sizes are GLOBAL per-batch runs; every process
+        # derives the same global plan and decodes only its row block of each
+        # source's run (see DataLoader for the single-source equivalent).
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -110,10 +116,17 @@ class MixedBatchLoader:
 
     def _index_plan(self) -> List[Dict[str, List[int]]]:
         orders = self._orders()
-        return [{name: [next(orders[name])
+        plan = [{name: [next(orders[name])
                         for _ in range(self.sequence_sizes[name])]
                  for name in self.loaders}
                 for _ in range(len(self))]
+        if self.process_count > 1:
+            for spec in plan:
+                for name, indices in spec.items():
+                    per = len(indices) // self.process_count
+                    spec[name] = indices[self.process_index * per:
+                                         (self.process_index + 1) * per]
+        return plan
 
     def __iter__(self) -> Iterator[Dict[str, dict]]:
         from concurrent.futures import ThreadPoolExecutor
@@ -183,7 +196,15 @@ class MixedBatchDataModule(EvalDataModuleGroup):
     def train_dataloader(self) -> MixedBatchLoader:
         loaders = {name: dm.train_dataloader()
                    for name, dm in zip(self.names, self.data_modules)}
-        return MixedBatchLoader(loaders, self.train_sequence_sizes, seed=self.seed)
+        try:
+            import jax
+
+            process_index, process_count = jax.process_index(), jax.process_count()
+        except Exception:
+            process_index, process_count = 0, 1
+        return MixedBatchLoader(loaders, self.train_sequence_sizes,
+                                seed=self.seed, process_index=process_index,
+                                process_count=process_count)
 
 
 class TrainAndEvalDataModules:

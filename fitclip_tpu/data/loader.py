@@ -28,7 +28,9 @@ class DataLoader:
                  batch_sampler: Optional[Iterable[Sequence[int]]] = None,
                  num_threads: int = 8,
                  prefetch_batches: int = 2,
-                 seed: int = 42) -> None:
+                 seed: int = 42,
+                 process_index: int = 0,
+                 process_count: int = 1) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -39,6 +41,12 @@ class DataLoader:
         self.prefetch_batches = prefetch_batches
         self.seed = seed
         self.epoch = 0
+        # Multi-host SPMD: batch_size is the GLOBAL batch; every process
+        # derives the same global index order (seeded shuffle) and loads only
+        # its contiguous row block of each batch (DistributedSampler
+        # semantics, but per-batch so composition matches single-host runs).
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
 
     def set_epoch(self, epoch: int) -> None:
         """Reshuffles per epoch (DistributedSampler.set_epoch semantics,
@@ -57,6 +65,12 @@ class DataLoader:
             chunk = order[start: start + self.batch_size].tolist()
             if len(chunk) < self.batch_size and self.drop_last:
                 return
+            if self.process_count > 1:
+                per = len(chunk) // self.process_count
+                if per == 0:
+                    return
+                chunk = chunk[self.process_index * per:
+                              (self.process_index + 1) * per]
             yield chunk
 
     def __len__(self) -> int:

@@ -139,8 +139,8 @@ class Trainer:
                 global_step += 1
 
                 if global_step % config.log_every_n_steps == 0:
-                    self.logger.log({k: float(v) for k, v in metrics.items()},
-                                    step=global_step)
+                    self._log({k: float(v) for k, v in metrics.items()},
+                              global_step)
 
                 if val_every and global_step % val_every == 0 and validate:
                     stop = self._validate_and_callbacks(
@@ -172,10 +172,16 @@ class Trainer:
             self._save(state, os.path.join(ckpt.dirpath, "last"))
         return state
 
+    def _log(self, metrics, step) -> None:
+        from fitclip_tpu.parallel.multihost import is_main_process
+
+        if is_main_process():
+            self.logger.log(metrics, step=step)
+
     def _validate_and_callbacks(self, state, validate, early_stopping, ckpt,
                                 global_step) -> bool:
         metrics = validate(state)
-        self.logger.log(metrics, step=global_step)
+        self._log(metrics, global_step)
         if ckpt and ckpt.monitor and ckpt.monitor in metrics:
             value = metrics[ckpt.monitor]
             best = getattr(self, "_best_monitor", None)
@@ -188,6 +194,10 @@ class Trainer:
         return early_stopping.update(metrics) if early_stopping else False
 
     def _save(self, state: TrainState, path: str) -> None:
+        from fitclip_tpu.parallel.multihost import is_main_process
+
+        if not is_main_process():
+            return
         save_checkpoint(path, jax.device_get(state))
         trainer_state: Dict[str, Any] = {}
         if getattr(self, "_best_monitor", None) is not None:

@@ -237,6 +237,53 @@ def make_run(mode: str, block: int, alias: bool = False):
             att = jnp.concatenate(parts, axis=2)
         elif mode == "noattn":
             att = qkv[:, :, :width].astype(jnp.float32)
+        elif mode in ("avfold", "avfold2"):
+            # Fold the attention-output requant multiplier inv_o INTO the
+            # softmax normalizer: w = exps * (inv_o/denom), so AV outputs come
+            # out pre-scaled and the (L, W) att*inv pass disappears — the
+            # quant is just round/clip. bf16 w precision is unaffected by the
+            # scaling (pure exponent shift). avfold2 also uses exp2+approx
+            # reciprocal for the softmax itself.
+            scale_q = jnp.asarray(head_dim ** -0.5, qkv.dtype)
+            inv_o = invs_ref[0, 1]
+            parts = []
+            for h in range(HEADS):
+                qh = qkv[:, :, h * head_dim:(h + 1) * head_dim] * scale_q
+                kh = qkv[:, :, width + h * head_dim:width + (h + 1) * head_dim]
+                vh = qkv[:, :, 2 * width + h * head_dim:
+                         2 * width + (h + 1) * head_dim]
+                logits = jax.lax.dot_general(
+                    qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                peak = jnp.max(logits, axis=-1, keepdims=True)
+                if mode == "avfold2":
+                    exps = jnp.exp2((logits - peak)
+                                    * jnp.float32(1.4426950408889634))
+                    w = (exps * (inv_o * pl.reciprocal(
+                        jnp.sum(exps, axis=-1, keepdims=True), approx=True))
+                         ).astype(vh.dtype)
+                else:
+                    exps = jnp.exp(logits - peak)
+                    denom = jnp.sum(exps, axis=-1, keepdims=True)
+                    w = (exps * (inv_o / denom)).astype(vh.dtype)
+                parts.append(jax.lax.dot_general(
+                    w, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32))
+            att_scaled = jnp.concatenate(parts, axis=2)
+            att_q8 = jnp.clip(jnp.round(att_scaled), -127, 127).astype(jnp.int8)
+            x32 = x32 + _int8_dense(att_q8, wo_ref, os_ref, ob_ref)
+            # MLP half: the shipping folded epilogue.
+            h2_q = _quant(_ln(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
+            acc = jax.lax.dot_general(
+                h2_q, wf_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            t = acc.astype(jnp.float32) * fs2_ref[...][0] + fb2_ref[...][0]
+            e = jnp.exp2(t * kv_ref[...][0])
+            g = t * pl.reciprocal(1.0 + e, approx=True)
+            h_q = jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8)
+            x32 = x32 + _int8_dense(h_q, wp_ref, ps_ref, pb_ref)
+            y_ref[...] = x32.astype(y_ref.dtype)
+            return
         elif mode == "heads3":
             # Same math as the shipping head loop, but phase-ordered: all 12
             # QK^T matmuls first, then all softmaxes, then all AV matmuls —

@@ -28,10 +28,13 @@ def main() -> None:
                         default=int(os.environ.get("BENCH_TRAIN_BATCH", "32")))
     parser.add_argument("--cases", default="contrastive,teacher_student")
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--no-fused", action="store_true",
+                        help="einsum attention instead of the Pallas kernel")
     args = parser.parse_args()
 
     encoder = ClipVideoTextEncoder(CLIPConfig.vit_b_16(), num_frames=4,
-                                   dtype=jnp.bfloat16, fused_attention=True,
+                                   dtype=jnp.bfloat16,
+                                   fused_attention=not args.no_fused,
                                    remat=args.remat)
     params = encoder.init_params(jax.random.PRNGKey(0))
     optimizer = make_optimizer(3e-6)
@@ -100,6 +103,8 @@ def main() -> None:
             "unit": "clips/sec/chip",
             "ms_per_step": round(seconds * 1e3, 1),
             "batch_clips": clips_per_step,
+            "fused_attention": not args.no_fused,
+            "remat": args.remat,
         }), flush=True)
 
 
