@@ -6,14 +6,77 @@ keeps the same caption format and the token-pattern search surface
 (sequences of specs like {"LOWER": "cat"} / {} wildcards, with "IN" lists and
 "OP": "?"/"*"/"+") without the spaCy dependency: tokens are whitespace words
 and matching runs over lowercase forms.
+
+POS-lite: specs may also use {"POS": ...} with the universal coarse tags
+(DET/ADP/PRON/AUX/CCONJ/SCONJ/PART/NUM/ADV/VERB/ADJ/NOUN/PROPN/INTJ/PUNCT).
+Tagging is lexicon + suffix heuristics and AMBIGUITY-TOLERANT: a word matches
+a requested POS when that tag is plausible for it ("run" matches both VERB
+and NOUN), which approximates the reference's transformer tagger without the
+undownloadable model. DEP patterns (a full parser) stay unsupported and
+raise.
 """
 
 import json
 import os
 import re
-from typing import Any, Dict, Iterator, List, Mapping, Optional, Sequence
+from typing import Any, Dict, Iterator, List, Mapping, Optional, Sequence, Set
 
 RE_MULTIPLE_SPACES = re.compile(r" {2,}")
+
+_CLOSED_CLASS = {
+    "DET": {"a", "an", "the", "this", "that", "these", "those", "some", "any",
+            "no", "every", "each", "either", "neither", "both", "all"},
+    "ADP": {"in", "on", "at", "by", "for", "with", "about", "against",
+            "between", "into", "through", "during", "before", "after",
+            "above", "below", "to", "from", "up", "down", "of", "off", "over",
+            "under", "near", "without", "within", "along", "across", "behind",
+            "beyond", "around", "toward", "towards", "upon", "onto"},
+    "PRON": {"i", "me", "my", "mine", "myself", "you", "your", "yours",
+             "yourself", "he", "him", "his", "himself", "she", "her", "hers",
+             "herself", "it", "its", "itself", "we", "us", "our", "ours",
+             "ourselves", "they", "them", "their", "theirs", "themselves",
+             "who", "whom", "whose", "which", "what", "something", "anything",
+             "nothing", "everything", "someone", "anyone", "everyone"},
+    "AUX": {"am", "is", "are", "was", "were", "be", "been", "being", "do",
+            "does", "did", "have", "has", "had", "will", "would", "shall",
+            "should", "can", "could", "may", "might", "must"},
+    "CCONJ": {"and", "or", "but", "nor", "yet", "so"},
+    "SCONJ": {"if", "because", "while", "although", "though", "since",
+              "unless", "whereas", "whether", "when", "where", "that"},
+    "PART": {"not", "n't", "'s", "to"},
+    "INTJ": {"oh", "wow", "hey", "hello", "hi", "yeah", "yes", "no", "okay",
+             "ok", "hmm", "uh", "um"},
+}
+
+_ADJ_SUFFIXES = ("ous", "ful", "ive", "able", "ible", "al", "ish", "less",
+                 "ic", "est", "er")
+_VERB_SUFFIXES = ("ing", "ed", "ize", "ise", "ify", "ate", "en", "s")
+_NOUN_SUFFIXES = ("tion", "sion", "ment", "ness", "ity", "ship", "hood",
+                  "ism", "ist", "ers", "ing", "s")
+
+
+def _plausible_pos(word: str) -> Set[str]:
+    """Coarse universal-POS candidates for a word (ambiguity-tolerant)."""
+    lower = word.lower().strip()
+    tags: Set[str] = set()
+    if not lower or all(not ch.isalnum() for ch in lower):
+        return {"PUNCT"}
+    if re.fullmatch(r"[\d.,:%/-]+", lower):
+        return {"NUM"}
+    for tag, words in _CLOSED_CLASS.items():
+        if lower in words:
+            tags.add(tag)
+    if lower.endswith("ly"):
+        tags.add("ADV")
+    if lower.endswith(_ADJ_SUFFIXES):
+        tags.add("ADJ")
+    if lower.endswith(_VERB_SUFFIXES):
+        tags.add("VERB")
+    if lower.endswith(_NOUN_SUFFIXES) or not tags:
+        tags.add("NOUN")
+    if word[:1].isupper():
+        tags.add("PROPN")
+    return tags
 
 
 def list_caption_paths(dir_path: str) -> Iterator[str]:
@@ -68,6 +131,12 @@ def _token_matches(spec: Mapping[str, Any], word: str) -> bool:
     lower = word.lower()
     for key, expected in spec.items():
         if key == "OP":
+            continue
+        if key == "POS":
+            wanted = (set(expected["IN"]) if isinstance(expected, Mapping)
+                      else {expected})
+            if not wanted & _plausible_pos(word):
+                return False
             continue
         if key not in ("LOWER", "ORTH", "TEXT"):
             raise ValueError(f"Unsupported token attribute: {key}")

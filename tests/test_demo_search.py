@@ -116,3 +116,22 @@ def test_wsgi_application(captions, monkeypatch):
          "QUERY_STRING": "q=" + json.dumps([{"LOWER": "mat"}])}, start_response))
     assert captured["status"].startswith("200")
     assert json.loads(body)[0]["text"] == "mat"
+
+
+def test_pos_lite_patterns(captions):
+    # DET NOUN at the start: "the cat"; VERB then ADP: "sits on".
+    spans = list(search_in_subtitles(
+        captions, [{"POS": "DET"}, {"POS": "NOUN"}]))
+    assert any(s["text"] == "the cat" for s in spans)
+    spans = list(search_in_subtitles(
+        captions, [{"POS": "VERB"}, {"POS": "ADP"}]))
+    assert any(s["text"] == "sits on" for s in spans)
+    # IN-lists and mixing with literal specs.
+    spans = list(search_in_subtitles(
+        captions, [{"LOWER": "cat"}, {"POS": {"IN": ["VERB", "AUX"]}}]))
+    assert any(s["text"] == "cat sits" for s in spans)
+    # DEP needs a parser; stays loudly unsupported.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(search_in_subtitles(captions, [{"DEP": "nsubj"}]))
