@@ -170,6 +170,10 @@ def run_retrieval_eval(loaded: LoadedEncoder, data_module,
         for batch in batch_iter:
             video, text, valid = video_text(batch)
             v, t = eval_step(params, video, text)
+            if jax.process_count() > 1:
+                from fitclip_tpu.parallel.multihost import host_array
+
+                v, t = host_array(v), host_array(t)
             evaluator.update(v, t, valid=valid)
         metrics = evaluator.compute()
         suffix = f"_{name}" if name else ""
@@ -231,7 +235,13 @@ def run_classification_eval(loaded: LoadedEncoder, data_module, mesh=None,
         device_batch, _ = split_device_batch(batch)
         sharded, valid = shard_eval_batch(device_batch, mesh)
         v = encode_video(params, sharded["video"])
-        evaluator.update(v, np.asarray(sharded["label"]), valid=valid)
+        if jax.process_count() > 1:
+            from fitclip_tpu.parallel.multihost import host_array
+
+            v, labels = host_array(v), host_array(sharded["label"])
+        else:
+            labels = np.asarray(sharded["label"])
+        evaluator.update(v, labels, valid=valid)
     return evaluator.compute()
 
 
@@ -264,6 +274,10 @@ def run_predict(loaded: LoadedEncoder, data_module, mesh=None,
             device_batch, host = split_device_batch(batch)
             sharded, valid = shard_eval_batch(device_batch, mesh)
             v, t = eval_step(params, sharded["video"], sharded["text"])
+            if jax.process_count() > 1:
+                from fitclip_tpu.parallel.multihost import host_array
+
+                v, t = host_array(v), host_array(t)
             encoded_videos.append(np.asarray(v)[:valid])
             encoded_texts.append(np.asarray(t)[:valid])
             video_ids.extend(host.get("video_id", []))
@@ -300,8 +314,12 @@ def _run_predict_classification(loaded, data_module, mesh, output_path):
         for batch in loader:
             device_batch, host = split_device_batch(batch)
             sharded, valid = shard_eval_batch(device_batch, mesh)
-            predicted = np.asarray(predict_step(params, sharded["video"]))[:valid]
-            predictions_list.append(predicted)
+            predicted = predict_step(params, sharded["video"])
+            if jax.process_count() > 1:
+                from fitclip_tpu.parallel.multihost import host_array
+
+                predicted = host_array(predicted)
+            predictions_list.append(np.asarray(predicted)[:valid])
             labels_list.append(np.asarray(batch["label"])[:valid])
             video_ids.extend(host.get("video_id", []))
 

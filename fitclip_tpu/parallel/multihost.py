@@ -85,6 +85,16 @@ def process_local_rows(n_rows: int,
     return slice(p * per, (p + 1) * per)
 
 
+def host_array(x) -> np.ndarray:
+    """A fully-materialized host copy of a (possibly multi-process global)
+    jax.Array — np.asarray alone fails on non-addressable shards."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def global_batch_from_local(mesh, local_batch: Any,
                             global_rows: Optional[int] = None) -> Any:
     """Per-process host rows -> one global jax.Array pytree sharded on the
