@@ -20,7 +20,7 @@ scale (clip_video_text_encoder.py:76-77).
 """
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any, Optional, Union
 
 import flax.linen as nn
 import jax
@@ -293,7 +293,7 @@ class Transformer(nn.Module):
     causal: bool
     quick_gelu: bool
     dtype: Dtype
-    remat: bool = False
+    remat: Union[bool, str] = False
     fused_attention: bool = False
     ln_eps: float = 1e-5
     quantized: bool = False
@@ -302,7 +302,12 @@ class Transformer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         block_cls = ResidualBlock
         if self.remat:
-            block_cls = nn.remat(block_cls, prevent_cse=False)
+            # remat=True: recompute everything (min memory). remat="dots":
+            # save matmul outputs, recompute elementwise only — the stash
+            # volume / recompute-FLOPs middle ground for training.
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if self.remat == "dots" else None)
+            block_cls = nn.remat(block_cls, prevent_cse=False, policy=policy)
         scanned = nn.scan(
             block_cls,
             variable_axes={"params": 0, "intermediates": 0},
@@ -320,7 +325,7 @@ class VisionTransformer(nn.Module):
     embed_dim: int
     quick_gelu: bool
     dtype: Dtype
-    remat: bool = False
+    remat: Union[bool, str] = False
     fused_attention: bool = False
     quantized: bool = False
 
@@ -362,7 +367,7 @@ class TextTransformer(nn.Module):
     embed_dim: int
     quick_gelu: bool
     dtype: Dtype
-    remat: bool = False
+    remat: Union[bool, str] = False
     fused_attention: bool = False
     quantized: bool = False
 
@@ -392,7 +397,7 @@ class TextTransformer(nn.Module):
 class CLIPModel(nn.Module):
     config: CLIPConfig
     dtype: Dtype = jnp.float32
-    remat: bool = False
+    remat: Union[bool, str] = False
     fused_attention: bool = False
     quantized: bool = False
 
