@@ -193,8 +193,17 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
         # Alias retrieval loss-style monitors for callbacks expecting loss/val.
         return metrics
 
+    # Pluggable experiment-tracker sink (the reference's NeptuneLogger slot,
+    # drift_eval_trainer.yaml:25-27): trainer.logger={_target_: ...} gets
+    # instantiated and receives every log(metrics, step) call.
+    sinks = []
+    if trainer_cfg.get("logger"):
+        from fitclip_tpu.config_engine import instantiate
+
+        sinks.append(instantiate(trainer_cfg["logger"]))
+
     trainer = Trainer(_trainer_config(trainer_cfg, callbacks_cfg),
-                      logger=MetricsLogger(log_dir=log_dir),
+                      logger=MetricsLogger(log_dir=log_dir, sinks=sinks),
                       prepare_batch=_make_batch_preparer(mesh))
     final_state = trainer.fit(state, step, data_module.train_dataloader(),
                               validate=validate if _has_val(data_module) else None,

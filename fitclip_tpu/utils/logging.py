@@ -1,22 +1,29 @@
-"""Metric logging: console + JSONL + optional TensorBoard.
+"""Metric logging: console + JSONL + optional TensorBoard + pluggable sinks.
 
-Replaces the reference's TensorBoard/Neptune PL loggers (SURVEY §5.5) with a
+Replaces the reference's TensorBoard/Neptune PL loggers (SURVEY §5.5,
+reference config/drift_eval_trainer.yaml:25-27 NeptuneLogger) with a
 zero-dependency JSONL stream (the durable record) plus optional tf.summary
-TensorBoard events when TensorFlow is importable.
+TensorBoard events when TensorFlow is importable. External experiment
+trackers plug in as sinks: any object with ``log(metrics, step)`` (and
+optionally ``close()``), instantiated from config via
+``trainer.logger={_target_: my.module.MySink, ...}`` — the Neptune-shaped
+extension point without the SDK dependency.
 """
 
 import json
 import logging
 import os
 import time
-from typing import Mapping, Optional
+from typing import Any, Mapping, Optional, Sequence
 
 LOGGER = logging.getLogger("fitclip_tpu")
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: Optional[str] = None, use_tensorboard: bool = True) -> None:
+    def __init__(self, log_dir: Optional[str] = None, use_tensorboard: bool = True,
+                 sinks: Optional[Sequence[Any]] = None) -> None:
         self.log_dir = log_dir
+        self.sinks = list(sinks or [])
         self._jsonl = None
         self._tb_writer = None
         if log_dir:
@@ -43,9 +50,15 @@ class MetricsLogger:
                 for key, value in scalars.items():
                     tf.summary.scalar(key, value, step=step)
             self._tb_writer.flush()
+        for sink in self.sinks:
+            sink.log(scalars, step)
         LOGGER.info("step %d: %s", step,
                     " ".join(f"{k}={v:.5g}" for k, v in scalars.items()))
 
     def close(self) -> None:
         if self._jsonl:
             self._jsonl.close()
+        for sink in self.sinks:
+            close = getattr(sink, "close", None)
+            if close:
+                close()

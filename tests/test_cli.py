@@ -182,3 +182,42 @@ def test_run_tune_end_to_end(msrvtt_env, vocab_paths, capsys):
     # 3 doubling trials from 2 all fit on CPU -> suggestion is the cap 8.
     assert suggestions["batch_size"] == 8
     assert 1e-8 <= suggestions["lr"] <= 0.1
+
+
+class RecordingSink:
+    """Experiment-tracker stand-in for the pluggable trainer.logger slot.
+    Records to a file: config-engine instantiation may import this module
+    under a second name (tests/ is not a package), so in-memory class state
+    is not shared with the test."""
+
+    def __init__(self, tag="sink", out_path="/tmp/sink_records.jsonl"):
+        self.tag = tag
+        self.out_path = out_path
+
+    def log(self, metrics, step):
+        with open(self.out_path, "a") as f:
+            f.write(json.dumps({"tag": self.tag, "step": step,
+                                "metrics": dict(metrics)}) + "\n")
+
+    def close(self):
+        with open(self.out_path, "a") as f:
+            f.write(json.dumps({"closed": True}) + "\n")
+
+
+def test_pluggable_logger_sink(msrvtt_env, vocab_paths, tmp_path):
+    out_path = str(tmp_path / "sink_records.jsonl")
+    cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
+                  ["command=train", "encoder=clip_vit_b_16", "data=msrvtt",
+                   "+data.batch_size=1", "+data.num_threads=1",
+                   "data.eval_batch_size=4",
+                   "trainer.max_epochs=1", "trainer.log_every_n_steps=1",
+                   f"+log_dir={tmp_path}/logs",
+                   "++trainer.logger._target_=tests.test_cli.RecordingSink",
+                   "++trainer.logger.tag=neptune_like",
+                   f"++trainer.logger.out_path={out_path}"])
+    cfg["encoder"] = _tiny_encoder_cfg(vocab_paths)
+    run(cfg)
+    records = [json.loads(line) for line in open(out_path)]
+    logged = [r for r in records if "metrics" in r]
+    assert logged, "sink saw no metrics"
+    assert all(r["tag"] == "neptune_like" for r in logged)
