@@ -5,8 +5,11 @@ on top of the in-tree config engine: config groups, overrides, ``--multirun``,
 ``--config-name``. Commands: train, evaluate, validate, test, predict, tune.
 
 Decisions vs reference quirks (SURVEY §2.1): resume reads ``checkpoint_path``
-directly (the reference gated on a vestigial ``path`` key, cli.py:148);
-everything else keeps the same shape, including the classification auto-switch
+directly (the reference gated on a vestigial ``path`` key, cli.py:148) — a
+full-TrainState dir resumes training completely (params + optimizer + step,
+trainer.fit(ckpt_path=...) semantics); bare-params checkpoints swap encoder
+weights (the student tower for {student, teacher} slots). Everything else
+keeps the same shape, including the classification auto-switch
 (cli.py:110-115) and prediction concatenation to predictions.pt
 (__main__.py:70-91).
 """
