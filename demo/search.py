@@ -49,10 +49,27 @@ _CLOSED_CLASS = {
 }
 
 _ADJ_SUFFIXES = ("ous", "ful", "ive", "able", "ible", "al", "ish", "less",
-                 "ic", "est", "er")
+                 "ic", "est", "er", "y")
 _VERB_SUFFIXES = ("ing", "ed", "ize", "ise", "ify", "ate", "en", "s")
 _NOUN_SUFFIXES = ("tion", "sion", "ment", "ness", "ity", "ship", "hood",
                   "ism", "ist", "ers", "ing", "s")
+# Frequent base-form verbs the suffix rules can't see (they also stay NOUN
+# candidates — ambiguity-tolerant).
+_COMMON_VERBS = {
+    "go", "get", "make", "know", "think", "take", "see", "come", "want",
+    "look", "use", "find", "give", "tell", "work", "call", "try", "ask",
+    "need", "feel", "become", "leave", "put", "mean", "keep", "let", "begin",
+    "seem", "help", "talk", "turn", "start", "show", "hear", "play", "run",
+    "move", "like", "live", "believe", "hold", "bring", "happen", "write",
+    "sit", "stand", "lose", "pay", "meet", "set", "learn", "change", "lead",
+    "watch", "follow", "stop", "speak", "read", "spend", "grow", "open",
+    "walk", "win", "teach", "offer", "remember", "love", "consider", "appear",
+    "buy", "wait", "serve", "die", "send", "build", "stay", "fall", "cut",
+    "reach", "kill", "raise", "pass", "sell", "decide", "return", "explain",
+    "hope", "develop", "carry", "break", "receive", "agree", "support", "hit",
+    "produce", "eat", "cover", "catch", "draw", "choose", "throw", "sing",
+    "jump", "swim", "cook", "dance", "climb", "ride", "drive", "fly",
+}
 
 
 def _plausible_pos(word: str) -> Set[str]:
@@ -70,9 +87,12 @@ def _plausible_pos(word: str) -> Set[str]:
         tags.add("ADV")
     if lower.endswith(_ADJ_SUFFIXES):
         tags.add("ADJ")
-    if lower.endswith(_VERB_SUFFIXES):
+    if lower.endswith(_VERB_SUFFIXES) or lower in _COMMON_VERBS:
         tags.add("VERB")
-    if lower.endswith(_NOUN_SUFFIXES) or not tags:
+    # Open-class words are always NOUN candidates (ambiguity tolerance);
+    # only pure closed-class hits skip it.
+    if lower.endswith(_NOUN_SUFFIXES) or not any(
+            t in _CLOSED_CLASS for t in tags):
         tags.add("NOUN")
     if word[:1].isupper():
         tags.add("PROPN")
