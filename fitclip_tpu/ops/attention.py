@@ -162,19 +162,113 @@ def fused_attention_packed(q, k, v, heads: int, scale: float,
                                scale, causal, interpret)
 
 
+def _packed_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, scale: float,
+                       causal: bool):
+    """Attention backward in ONE kernel: recompute the softmax weights (same
+    layouts as the forward), then the four grad matmuls — the (L, S) logits,
+    weights, dW and dlogits never leave VMEM. The einsum backward this
+    replaces materialized ~119 MB of fp32 logits in HBM per ViT-B/16 train
+    step (b=16, 64 frames).
+
+    Contraction layout notes (zero transposes beyond the forward's K^T):
+      dV[s,d] = sum_l W[l,s]  g[l,d]   — contract axis 1 with axis 1
+      dW[l,s] = sum_d g[l,d]  v[s,d]   — contract lanes with lanes
+      dq[l,d] = sum_s dL[l,s] k[s,d]   — contract axis 2 with axis 1
+      dk[s,d] = sum_l dL[l,s] q[l,d]   — contract axis 1 with axis 1
+    with dL = W * (dW - rowsum(dW*W)) the softmax backward in fp32."""
+    block_b, seq, width = g_ref.shape
+    head_dim = width // heads
+    qkv = qkv_ref[...]
+
+    def heads_along_batch(tensor, offset, transpose=False):
+        parts = [tensor[:, :, offset + h * head_dim:offset + (h + 1) * head_dim]
+                 for h in range(heads)]
+        if transpose:
+            parts = [part.swapaxes(1, 2) for part in parts]
+        return jnp.concatenate(parts, axis=0)
+
+    q = heads_along_batch(qkv, 0)                           # (HB, L, D) UNscaled
+    k_t = heads_along_batch(qkv, width, True)               # (HB, D, L)
+    k = heads_along_batch(qkv, width)                       # (HB, S, D)
+    v = heads_along_batch(qkv, 2 * width)                   # (HB, S, D)
+    g = heads_along_batch(g_ref[...], 0)                    # (HB, L, D)
+
+    q_s = q * jnp.asarray(scale, q.dtype)
+    logits = jax.lax.dot_general(
+        q_s, k_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                 # (HB, L, S)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+        logits = jnp.where(col <= row, logits, jnp.finfo(jnp.float32).min)
+    peak = jnp.max(logits, axis=-1, keepdims=True)
+    exps = jnp.exp(logits - peak)
+    denom = jnp.sum(exps, axis=-1, keepdims=True)
+    weights32 = exps / denom                                # fp32 (HB, L, S)
+    weights = weights32.astype(v.dtype)
+
+    d_v = jax.lax.dot_general(
+        weights, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (HB, S, D)
+    d_weights = jax.lax.dot_general(
+        g, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (HB, L, S)
+    inner = jnp.sum(d_weights * weights32, axis=-1, keepdims=True)
+    d_logits = (weights32 * (d_weights - inner)).astype(q.dtype)
+    if causal:
+        d_logits = jnp.where(col <= row, d_logits, jnp.zeros_like(d_logits))
+    d_q = jax.lax.dot_general(
+        d_logits, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale          # (HB, L, D)
+    d_k = jax.lax.dot_general(
+        d_logits, q_s, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (HB, S, D)
+
+    def concat_heads(t):
+        return jnp.concatenate(
+            [t[h * block_b:(h + 1) * block_b] for h in range(heads)], axis=2)
+
+    dqkv_ref[...] = jnp.concatenate(
+        [concat_heads(d_q), concat_heads(d_k), concat_heads(d_v)],
+        axis=2).astype(dqkv_ref.dtype)
+
+
+def _backward_packed(qkv, grad_out, heads: int, scale: float, causal: bool,
+                     interpret: bool):
+    batch, seq, triple_width = qkv.shape
+    width = triple_width // 3
+    # ~2.5x the forward's per-row VMEM (logits + weights + dW + dlogits);
+    # shrink the budget accordingly so block_rows stays safe.
+    block = _block_rows(batch, seq, heads, width // heads,
+                        max_vmem_bytes=18 * 2 ** 20)
+    kernel = functools.partial(_packed_bwd_kernel, heads=heads, scale=scale,
+                               causal=causal)
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec((block, seq, triple_width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+                  pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                               memory_space=memory_space)],
+        out_specs=pl.BlockSpec((block, seq, triple_width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, triple_width), qkv.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(qkv, grad_out)
+
+
 def _fwd(qkv, heads, scale, causal, interpret):
     return fused_attention_qkv(qkv, heads, scale, causal, interpret), (qkv,)
 
 
 def _bwd(heads, scale, causal, interpret, residuals, grad_out):
     (qkv,) = residuals
-
-    def reference(qkv_):
-        q, k, v = jnp.split(qkv_, 3, axis=-1)
-        return _einsum_attention_packed(q, k, v, heads, scale, causal)
-
-    _, vjp = jax.vjp(reference, qkv)
-    return vjp(grad_out)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return (_backward_packed(qkv, grad_out, heads, scale, causal, interpret),)
 
 
 fused_attention_qkv.defvjp(_fwd, _bwd)

@@ -5,12 +5,18 @@
 #   CKPT_GLOB    glob of checkpoints to evaluate (orbax dirs or .ckpt files)
 #   WISE_WEIGHT  ensemble weight for the fine-tuned model (default 0.4)
 #   BENCHMARKS   comma-separated data configs
+#   FRAME_CACHE  optional dir: decoded eval frames cache — every checkpoint
+#                after the first skips decode+transform entirely
 set -euo pipefail
 set -x
 
 CKPT_GLOB=${CKPT_GLOB:-checkpoints/epoch_*}
 WISE_WEIGHT=${WISE_WEIGHT:-0.4}
 BENCHMARKS=${BENCHMARKS:-moments_in_time,msrvtt,webvid,youcook2}
+CACHE_OVERRIDE=()
+if [[ -n "${FRAME_CACHE:-}" ]]; then
+  CACHE_OVERRIDE=("++data.eval_frame_cache_dir=${FRAME_CACHE}")
+fi
 PREPARED=$(mktemp --suffix=.pt)
 
 for ckpt in $CKPT_GLOB; do
@@ -28,6 +34,7 @@ for ckpt in $CKPT_GLOB; do
     +encoder.model2.checkpoint_path="$PREPARED" \
     ++encoder.weight_for_2="$WISE_WEIGHT" \
     data="$BENCHMARKS" \
+    "${CACHE_OVERRIDE[@]}" \
     silent=true
 done
 
