@@ -123,6 +123,18 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
                 f"{type(enc).__name__} was built with fused_block (the inference "
                 "layer megakernel, which has no gradient path); rebuild with "
                 "++encoder.fused_block=false to train")
+        if getattr(getattr(enc, "model", None), "fused_attention", False) \
+                and mesh.devices.size > 1:
+            # GSPMD cannot partition a pallas_call: under plain jit it
+            # all-gathers the batch and runs the FULL attention kernel on
+            # every device (verified in HLO for the eval path). Correct but
+            # wasteful — multi-chip training should use the einsum path,
+            # which partitions cleanly.
+            LOGGER.warning(
+                "%s slot uses the Pallas fused-attention kernel on a %d-device "
+                "mesh; GSPMD will replicate the kernel's work. Pass "
+                "++encoder.fused_attention=false for partitioned multi-chip "
+                "training.", slot_name, mesh.devices.size)
         bn_freeze_patterns.extend(getattr(enc, "bn_freeze_patterns", ()))
 
     init_temperature = float(model_cfg.get("init_temperature", 0.05))
