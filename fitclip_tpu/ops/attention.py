@@ -264,10 +264,30 @@ def _fwd(qkv, heads, scale, causal, interpret):
     return fused_attention_qkv(qkv, heads, scale, causal, interpret), (qkv,)
 
 
+def _bwd_vmem_bytes(seq: int, heads: int, head_dim: int) -> int:
+    """Live VMEM of one batch row in the packed backward: logits f32 +
+    weights f32/bf16 + dW f32 + dlogits bf16 (~16 B per (head, L, S') elem)
+    plus the five per-head (L', D) operand copies."""
+    padded_seq = -(-seq // 128) * 128
+    return (heads * seq * padded_seq * 16
+            + 5 * heads * head_dim * padded_seq * 2)
+
+
 def _bwd(heads, scale, causal, interpret, residuals, grad_out):
     (qkv,) = residuals
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    batch, seq, triple_width = qkv.shape
+    head_dim = triple_width // 3 // heads
+    if _bwd_vmem_bytes(seq, heads, head_dim) > 90 * 2 ** 20:
+        # ViT-L/14@336-class sequences: the packed per-row grads exceed the
+        # 100MB scoped VMEM even at block=1 — take the einsum VJP instead.
+        def reference(qkv_):
+            q, k, v = jnp.split(qkv_, 3, axis=-1)
+            return _einsum_attention_packed(q, k, v, heads, scale, causal)
+
+        _, vjp = jax.vjp(reference, qkv)
+        return vjp(grad_out)
     return (_backward_packed(qkv, grad_out, heads, scale, causal, interpret),)
 
 

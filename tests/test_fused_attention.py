@@ -74,3 +74,34 @@ def test_model_with_fused_attention_matches_einsum_model():
     img_b, txt_b = fused_model.apply({"params": params}, images, ids)
     np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b), atol=1e-4)
     np.testing.assert_allclose(np.asarray(txt_a), np.asarray(txt_b), atol=1e-4)
+
+
+def test_fused_packed_gradients_match_einsum_causal():
+    """The backward kernel's causal path (text tower gradients)."""
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, 9, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 9, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 9, 16)).astype(np.float32))
+    scale = 8 ** -0.5
+
+    def loss_fused(q, k, v):
+        return (fused_attention_packed(q, k, v, 2, scale, True) ** 2).sum()
+
+    def loss_einsum(q, k, v):
+        return (_einsum_attention_packed(q, k, v, 2, scale, True) ** 2).sum()
+
+    grads_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    grads_einsum = jax.grad(loss_einsum, argnums=(0, 1, 2))(q, k, v)
+    for gf, ge in zip(grads_fused, grads_einsum):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ge), atol=1e-5)
+
+
+def test_backward_kernel_vmem_fallback():
+    """Sequences whose packed grads exceed the VMEM budget must route the
+    backward through the einsum VJP (ViT-L/14@336-class shapes) — checked by
+    construction on the budget helper."""
+    from fitclip_tpu.ops.attention import _bwd_vmem_bytes
+
+    assert _bwd_vmem_bytes(577, 16, 64) > 90 * 2 ** 20   # ViT-L/14@336
+    assert _bwd_vmem_bytes(257, 16, 64) <= 90 * 2 ** 20  # ViT-L/14
+    assert _bwd_vmem_bytes(197, 12, 64) <= 90 * 2 ** 20  # ViT-B/16
