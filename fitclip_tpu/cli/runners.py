@@ -21,6 +21,7 @@ from fitclip_tpu.evaluation.retrieval import RetrievalEvaluator
 from fitclip_tpu.models.clip.load import LoadedEncoder
 from fitclip_tpu.parallel import create_mesh, replicated, sharded_along
 from fitclip_tpu.parallel.mesh import pad_batch_to_divisible
+from fitclip_tpu.parallel.multihost import host_array
 
 LOGGER = logging.getLogger(__name__)
 
@@ -156,25 +157,22 @@ def run_retrieval_eval(loaded: LoadedEncoder, data_module,
     results: Dict[str, float] = {}
     for name, loader in _loaders_with_names(data_module, split):
         evaluator = RetrievalEvaluator()
-        batch_iter = iter(loader)
+        batch_iter = ((video_text(b)) for b in loader)
         if not calibrated:
             k = max(1, int((quant_cfg or {}).get("calibration_batches", 4)))
+            # Head batches are padded/sharded ONCE — calibration reads them,
+            # then the eval loop consumes the same device arrays.
             head = list(itertools.islice(batch_iter, k))
             params = jax.device_put(
-                _calibrate_on_batches(
-                    encoder, params,
-                    [video_text(b)[:2] for b in head], quant_cfg),
+                _calibrate_on_batches(encoder, params,
+                                      [(video, text) for video, text, _ in head],
+                                      quant_cfg),
                 replicated(mesh))
             calibrated = True
             batch_iter = itertools.chain(head, batch_iter)
-        for batch in batch_iter:
-            video, text, valid = video_text(batch)
+        for video, text, valid in batch_iter:
             v, t = eval_step(params, video, text)
-            if jax.process_count() > 1:
-                from fitclip_tpu.parallel.multihost import host_array
-
-                v, t = host_array(v), host_array(t)
-            evaluator.update(v, t, valid=valid)
+            evaluator.update(host_array(v), host_array(t), valid=valid)
         metrics = evaluator.compute()
         suffix = f"_{name}" if name else ""
         results.update({f"{key}{suffix}": value for key, value in metrics.items()})
@@ -235,13 +233,8 @@ def run_classification_eval(loaded: LoadedEncoder, data_module, mesh=None,
         device_batch, _ = split_device_batch(batch)
         sharded, valid = shard_eval_batch(device_batch, mesh)
         v = encode_video(params, sharded["video"])
-        if jax.process_count() > 1:
-            from fitclip_tpu.parallel.multihost import host_array
-
-            v, labels = host_array(v), host_array(sharded["label"])
-        else:
-            labels = np.asarray(sharded["label"])
-        evaluator.update(v, labels, valid=valid)
+        evaluator.update(host_array(v), host_array(sharded["label"]),
+                         valid=valid)
     return evaluator.compute()
 
 
@@ -274,12 +267,8 @@ def run_predict(loaded: LoadedEncoder, data_module, mesh=None,
             device_batch, host = split_device_batch(batch)
             sharded, valid = shard_eval_batch(device_batch, mesh)
             v, t = eval_step(params, sharded["video"], sharded["text"])
-            if jax.process_count() > 1:
-                from fitclip_tpu.parallel.multihost import host_array
-
-                v, t = host_array(v), host_array(t)
-            encoded_videos.append(np.asarray(v)[:valid])
-            encoded_texts.append(np.asarray(t)[:valid])
+            encoded_videos.append(host_array(v)[:valid])
+            encoded_texts.append(host_array(t)[:valid])
             video_ids.extend(host.get("video_id", []))
 
     predictions = {
@@ -314,12 +303,8 @@ def _run_predict_classification(loaded, data_module, mesh, output_path):
         for batch in loader:
             device_batch, host = split_device_batch(batch)
             sharded, valid = shard_eval_batch(device_batch, mesh)
-            predicted = predict_step(params, sharded["video"])
-            if jax.process_count() > 1:
-                from fitclip_tpu.parallel.multihost import host_array
-
-                predicted = host_array(predicted)
-            predictions_list.append(np.asarray(predicted)[:valid])
+            predicted = host_array(predict_step(params, sharded["video"]))
+            predictions_list.append(predicted[:valid])
             labels_list.append(np.asarray(batch["label"])[:valid])
             video_ids.extend(host.get("video_id", []))
 

@@ -9,14 +9,12 @@ drop_last), but the static split means the jitted teacher-student step sees
 fixed shapes — no runtime groupby (teacher_student.py:100-102) required.
 """
 
-import queue
-import threading
 import zlib
 from typing import Dict, Iterator, List, Mapping, Optional, Union
 
 import numpy as np
 
-from fitclip_tpu.data.loader import DataLoader, item_rng
+from fitclip_tpu.data.loader import DataLoader, item_rng, prefetched_batches
 
 
 class EvalDataModuleGroup:
@@ -114,68 +112,48 @@ class MixedBatchLoader:
                             if name == longest else cycling(n, rng))
         return orders
 
-    def _index_plan(self) -> List[Dict[str, List[int]]]:
+    def _iter_specs(self) -> Iterator[Dict[str, List[int]]]:
+        """Lazily yields one batch's per-source index lists at a time — a
+        WebVid-scale epoch plan never materializes in memory."""
         orders = self._orders()
-        plan = [{name: [next(orders[name])
-                        for _ in range(self.sequence_sizes[name])]
-                 for name in self.loaders}
-                for _ in range(len(self))]
-        if self.process_count > 1:
-            for spec in plan:
+        for _ in range(len(self)):
+            spec = {name: [next(orders[name])
+                           for _ in range(self.sequence_sizes[name])]
+                    for name in self.loaders}
+            if self.process_count > 1:
                 for name, indices in spec.items():
+                    if len(indices) % self.process_count:
+                        raise ValueError(
+                            f"source {name!r} run of {len(indices)} is not "
+                            f"divisible by {self.process_count} processes — "
+                            "make train_sequence_sizes multiples of the "
+                            "process count")
                     per = len(indices) // self.process_count
                     spec[name] = indices[self.process_index * per:
                                          (self.process_index + 1) * per]
-        return plan
+            yield spec
+
+    def _index_plan(self) -> List[Dict[str, List[int]]]:
+        return list(self._iter_specs())
 
     def __iter__(self) -> Iterator[Dict[str, dict]]:
-        from concurrent.futures import ThreadPoolExecutor
-
-        plan = self._index_plan()
-        output: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch_batches))
-        stop = threading.Event()
-
         def load(name: str, index: int):
             return self.loaders[name].dataset.__getitem__(
                 index, rng=item_rng(self.seed, self.epoch, index))
 
-        def produce():
-            try:
-                with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-                    for spec in plan:
-                        if stop.is_set():
-                            break
-                        pairs = [(name, i) for name, indices in spec.items()
-                                 for i in indices]
-                        items = list(pool.map(lambda p: load(*p), pairs))
-                        batch, cursor = {}, 0
-                        for name, indices in spec.items():
-                            sub = items[cursor:cursor + len(indices)]
-                            cursor += len(indices)
-                            batch[name] = self.loaders[name].collate(sub)
-                        output.put(batch)
-                output.put(StopIteration)
-            except BaseException as exc:  # surface decode errors to the consumer
-                output.put(exc)
+        def make_batch(pool, spec):
+            pairs = [(name, i) for name, indices in spec.items()
+                     for i in indices]
+            items = list(pool.map(lambda p: load(*p), pairs))
+            batch, cursor = {}, 0
+            for name, indices in spec.items():
+                sub = items[cursor:cursor + len(indices)]
+                cursor += len(indices)
+                batch[name] = self.loaders[name].collate(sub)
+            return batch
 
-        producer = threading.Thread(target=produce, daemon=True)
-        producer.start()
-        try:
-            while True:
-                batch = output.get()
-                if batch is StopIteration:
-                    return
-                if isinstance(batch, BaseException):
-                    raise batch
-                yield batch
-        finally:
-            stop.set()
-            # Drain so the producer can exit if blocked on put().
-            while producer.is_alive():
-                try:
-                    output.get_nowait()
-                except queue.Empty:
-                    producer.join(timeout=0.1)
+        yield from prefetched_batches(self._iter_specs(), make_batch,
+                                      self.num_threads, self.prefetch_batches)
 
 
 class MixedBatchDataModule(EvalDataModuleGroup):

@@ -19,6 +19,52 @@ def item_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
     return np.random.default_rng(np.random.SeedSequence([seed, epoch, index]))
 
 
+_DONE = object()
+
+
+def prefetched_batches(specs: Iterable[Any], make_batch: Callable,
+                       num_threads: int, prefetch: int) -> Iterator[Any]:
+    """Shared producer-thread prefetch: a worker drains `specs`, builds each
+    batch with ``make_batch(pool, spec)`` on a GIL-releasing thread pool, and
+    feeds a bounded queue so decode overlaps the consumer's device work.
+    Worker exceptions re-raise in the consumer. Used by DataLoader and
+    MixedBatchLoader."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    output: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def produce():
+        try:
+            with ThreadPoolExecutor(max_workers=max(1, num_threads)) as pool:
+                for spec in specs:
+                    if stop.is_set():
+                        break
+                    output.put(make_batch(pool, spec))
+            output.put(_DONE)
+        except BaseException as exc:  # surface decode errors to the consumer
+            output.put(exc)
+
+    producer = threading.Thread(target=produce, daemon=True)
+    producer.start()
+    try:
+        while True:
+            batch = output.get()
+            if batch is _DONE:
+                return
+            if isinstance(batch, BaseException):
+                raise batch
+            yield batch
+    finally:
+        stop.set()
+        # Drain so the producer can exit if blocked on put().
+        while producer.is_alive():
+            try:
+                output.get_nowait()
+            except queue.Empty:
+                producer.join(timeout=0.1)
+
+
 class DataLoader:
     def __init__(self, dataset: VideoDataset,
                  batch_size: int = 1,
@@ -66,9 +112,16 @@ class DataLoader:
             if len(chunk) < self.batch_size and self.drop_last:
                 return
             if self.process_count > 1:
+                if len(chunk) % self.process_count:
+                    # Silently shrinking (or emptying) the global batch would
+                    # desync steps_per_epoch across hosts — fail loudly, like
+                    # the eval path's process_local_rows.
+                    raise ValueError(
+                        f"global batch of {len(chunk)} rows is not divisible "
+                        f"by {self.process_count} processes — set batch_size "
+                        "to a multiple of the process count (and drop_last "
+                        "for the trailing batch)")
                 per = len(chunk) // self.process_count
-                if per == 0:
-                    return
                 chunk = chunk[self.process_index * per:
                               (self.process_index + 1) * per]
             yield chunk
@@ -87,34 +140,8 @@ class DataLoader:
             return self.dataset[index]
 
     def __iter__(self) -> Iterator[Any]:
-        from concurrent.futures import ThreadPoolExecutor
+        def make_batch(pool, indices):
+            return self.collate(list(pool.map(self._load_item, indices)))
 
-        batches = self._batches_of_indices()
-        output: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch_batches))
-        stop = threading.Event()
-
-        def produce():
-            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-                for indices in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self._load_item, indices))
-                    output.put(self.collate(items))
-            output.put(StopIteration)
-
-        producer = threading.Thread(target=produce, daemon=True)
-        producer.start()
-        try:
-            while True:
-                batch = output.get()
-                if batch is StopIteration:
-                    return
-                yield batch
-        finally:
-            stop.set()
-            # Drain so the producer can exit if blocked on put().
-            while producer.is_alive():
-                try:
-                    output.get_nowait()
-                except queue.Empty:
-                    producer.join(timeout=0.1)
+        yield from prefetched_batches(self._batches_of_indices(), make_batch,
+                                      self.num_threads, self.prefetch_batches)

@@ -78,7 +78,7 @@ class VideoDataset(ABC):
         """Clip start/end times (YouCook2-style segment datasets override)."""
         return None, None
 
-    def _cache_path(self, path, key: str) -> str:
+    def _cache_path(self, path, key: str, video_idx: int) -> str:
         import hashlib
 
         try:
@@ -86,8 +86,13 @@ class VideoDataset(ABC):
             identity = f"{os.path.abspath(path)}|{stat.st_mtime_ns}|{stat.st_size}"
         except OSError:
             identity = os.path.abspath(str(path))
+        # Segment datasets (YouCook2, DiDeMo) repeat one video FILE across
+        # many dataset rows with different clip times — the row index and the
+        # times must be part of the key or all segments collide on one entry.
+        times = self._get_times(video_idx)
         digest = hashlib.sha1(
-            f"{identity}|{key}|{self.decode_short_side}".encode()).hexdigest()
+            f"{identity}|{key}|{self.decode_short_side}|{video_idx}|{times}"
+            .encode()).hexdigest()
         return os.path.join(self.frame_cache_dir, f"{digest}.npy")
 
     def __getitem__(self, video_idx: int,
@@ -119,7 +124,7 @@ class VideoDataset(ABC):
             "video_id": self._get_video_id(video_idx),
         }
         for key, pipeline in self.pipelines.items():
-            cache_file = (self._cache_path(path, key)
+            cache_file = (self._cache_path(path, key, video_idx)
                           if self.frame_cache_dir else None)
             if cache_file and os.path.exists(cache_file):
                 item[key] = np.load(cache_file)

@@ -146,12 +146,14 @@ class OpenCVVideoReader(VideoReader):
             ok, frame = self.capture.retrieve()
             if not ok or frame is None:
                 raise IOError(f"failed to decode frame {index}")
-            if self.short_side:
+            # Same engage policy as the native reader (>=2x the target short
+            # side), so a run produces identical geometry whichever backend
+            # decodes.
+            if self.short_side and min(frame.shape[:2]) >= 2 * self.short_side:
                 new_h, new_w = scaled_size(frame.shape[0], frame.shape[1],
                                            self.short_side)
-                if (new_h, new_w) != frame.shape[:2]:
-                    frame = cv2.resize(frame, (new_w, new_h),
-                                       interpolation=cv2.INTER_CUBIC)
+                frame = cv2.resize(frame, (new_w, new_h),
+                                   interpolation=cv2.INTER_CUBIC)
             frames[index] = frame[:, :, ::-1]  # BGR -> RGB
         return np.stack([frames[int(i)] for i in indices]).astype(np.uint8)
 

@@ -1,80 +1,87 @@
 #!/usr/bin/env python
-"""Transcribe an audio/video file to the Google-STT caption JSON the demo
-consumes (demo/search.py caption format: per-word start/end times).
+"""Transcribe audio/video to the per-word-timestamped caption JSON the demo
+consumes (demo/search.py caption format).
 
-Mirrors the reference's GCP script (scripts/speech_to_text.py — long-running
-recognize with word time offsets on the enhanced "video" model). Two
-backends, picked automatically:
+Capability match for the reference's GCP transcription step (SURVEY §2.7):
+long-running recognition with word time offsets so each word carries
+start/end times. Uses Google Cloud Speech when its SDK + credentials are
+available; exits with a clear message otherwise (this build environment has
+no egress). The flags below expose what the reference hard-coded.
 
-- google: when ``google-cloud-speech`` is importable and credentials are
-  configured — the reference's exact request (word time offsets, word
-  confidence, automatic punctuation, enhanced video model, diarization).
-- null: everywhere else (e.g. this zero-egress environment) — exits with a
-  clear error instead of pretending; pass ``--backend google`` to force.
-
-    python scripts/speech_to_text.py AUDIO_OR_GS_PATH > captions/video_id.json
+    python scripts/speech_to_text.py clip.opus > captions/clip.json
+    python scripts/speech_to_text.py gs://bucket/clip.flac --model default
 """
 import argparse
 import json
 import sys
 
 
-def google_transcribe(path: str) -> str:
-    from google.cloud.speech_v1p1beta1 import (RecognitionAudio,
-                                               RecognitionConfig,
-                                               RecognitionMetadata,
-                                               SpeakerDiarizationConfig,
-                                               SpeechClient)
+def _audio_source(path: str):
+    """A RecognitionAudio for a local file or a gs:// object."""
+    from google.cloud import speech_v1p1beta1 as speech
 
     if path.startswith("gs://"):
-        audio = RecognitionAudio(uri=path)
-    else:
-        with open(path, "rb") as file:
-            audio = RecognitionAudio(content=file.read())
+        return speech.RecognitionAudio(uri=path)
+    with open(path, "rb") as file:
+        return speech.RecognitionAudio(content=file.read())
 
-    kwargs = {"audio_channel_count": 2}
-    if path.endswith(".opus"):
-        # Ogg-Opus needs the encoding + rate spelled out.
-        kwargs["encoding"] = RecognitionConfig.AudioEncoding.OGG_OPUS
-        kwargs["sample_rate"] = 48000
-    else:
-        kwargs["encoding"] = RecognitionConfig.AudioEncoding.ENCODING_UNSPECIFIED
 
-    metadata = RecognitionMetadata(
-        original_media_type=RecognitionMetadata.OriginalMediaType.VIDEO)
-    config = RecognitionConfig(
-        language_code="en-US", enable_word_time_offsets=True,
-        enable_word_confidence=True, enable_automatic_punctuation=True,
-        use_enhanced=True, model="video", metadata=metadata,
-        diarization_config=SpeakerDiarizationConfig(
+def _recognition_config(args):
+    from google.cloud import speech_v1p1beta1 as speech
+
+    options = {
+        "language_code": args.language,
+        "enable_word_time_offsets": True,   # the demo needs per-word times
+        "enable_word_confidence": True,
+        "enable_automatic_punctuation": True,
+        "model": args.model,
+        "use_enhanced": args.model == "video",
+        "audio_channel_count": args.channels,
+        "metadata": speech.RecognitionMetadata(
+            original_media_type=(
+                speech.RecognitionMetadata.OriginalMediaType.VIDEO)),
+    }
+    if args.diarization:
+        options["diarization_config"] = speech.SpeakerDiarizationConfig(
             enable_speaker_diarization=True, min_speaker_count=1,
-            max_speaker_count=10),
-        **kwargs)
-    response = SpeechClient().long_running_recognize(config=config, audio=audio)
-    result = response.result(timeout=10000)
-    return type(result).to_json(result)
+            max_speaker_count=args.max_speakers)
+    encoding = speech.RecognitionConfig.AudioEncoding
+    if args.path.endswith(".opus"):
+        # Ogg-Opus requires the encoding and rate to be explicit.
+        options["encoding"] = encoding.OGG_OPUS
+        options["sample_rate_hertz"] = args.opus_rate
+    else:
+        options["encoding"] = encoding.ENCODING_UNSPECIFIED
+    return speech.RecognitionConfig(**options)
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("path", help="local audio/video file or gs:// URI")
-    parser.add_argument("--backend", choices=["auto", "google"], default="auto")
+    parser.add_argument("--language", default="en-US")
+    parser.add_argument("--model", default="video",
+                        help="video (enhanced) / default / phone_call ...")
+    parser.add_argument("--channels", type=int, default=2)
+    parser.add_argument("--opus-rate", type=int, default=48000)
+    parser.add_argument("--diarization", action="store_true", default=True)
+    parser.add_argument("--max-speakers", type=int, default=10)
+    parser.add_argument("--timeout", type=float, default=10000.0)
     args = parser.parse_args()
 
     try:
-        import google.cloud.speech_v1p1beta1  # noqa: F401
-        have_google = True
+        from google.cloud import speech_v1p1beta1 as speech
     except ImportError:
-        have_google = False
-
-    if not have_google:
         sys.exit("speech_to_text: the google-cloud-speech SDK is not "
                  "installed in this environment. Install it (and configure "
                  "GOOGLE_APPLICATION_CREDENTIALS) to transcribe; the output "
                  "JSON feeds demo/search.py's caption loader.")
-    output = google_transcribe(args.path)
-    json.loads(output)  # sanity: emit valid JSON only
-    print(output)
+
+    operation = speech.SpeechClient().long_running_recognize(
+        config=_recognition_config(args), audio=_audio_source(args.path))
+    response = operation.result(timeout=args.timeout)
+    payload = type(response).to_json(response)
+    json.loads(payload)  # emit valid JSON only
+    print(payload)
 
 
 if __name__ == "__main__":
