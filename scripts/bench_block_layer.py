@@ -198,11 +198,23 @@ def make_run(mode: str, block: int, alias: bool = False):
                 return v32.astype(jnp.int8)
             return _quant(v32, inv)
 
+        def ln_fn(x32_in, s_ref, b_ref):
+            if mode != "lnvar":
+                return _ln(x32_in, s_ref, b_ref)
+            # Single-pass variance: E[x^2] - E[x]^2 — one read of the tensor
+            # for both statistics instead of two (cancellation risk is why
+            # the shipping kernel uses the two-pass form; this measures the
+            # speed side of that trade).
+            mean = jnp.mean(x32_in, axis=-1, keepdims=True)
+            msq = jnp.mean(x32_in * x32_in, axis=-1, keepdims=True)
+            normed = (x32_in - mean) * jax.lax.rsqrt(msq - mean * mean + 1e-5)
+            return normed * s_ref[...][0] + b_ref[...][0]
+
         def ln_quant(x32_in, s_ref, b_ref, inv):
             """LN with the quantize multiplier folded into the affine: one
             multiply pass fewer over the (L, W) tensor."""
             if mode != "lnfold":
-                return quant(_ln(x32_in, s_ref, b_ref), inv)
+                return quant(ln_fn(x32_in, s_ref, b_ref), inv)
             mean = jnp.mean(x32_in, axis=-1, keepdims=True)
             centered = x32_in - mean
             var = jnp.mean(centered * centered, axis=-1, keepdims=True)
@@ -237,7 +249,7 @@ def make_run(mode: str, block: int, alias: bool = False):
             att = jnp.concatenate(parts, axis=2)
         elif mode == "noattn":
             att = qkv[:, :, :width].astype(jnp.float32)
-        elif mode in ("avfold", "avfold2"):
+        elif mode in ("avfold", "avfold2", "lnvar"):
             # Fold the attention-output requant multiplier inv_o INTO the
             # softmax normalizer: w = exps * (inv_o/denom), so AV outputs come
             # out pre-scaled and the (L, W) att*inv pass disappears — the
@@ -273,7 +285,7 @@ def make_run(mode: str, block: int, alias: bool = False):
             att_q8 = jnp.clip(jnp.round(att_scaled), -127, 127).astype(jnp.int8)
             x32 = x32 + _int8_dense(att_q8, wo_ref, os_ref, ob_ref)
             # MLP half: the shipping folded epilogue.
-            h2_q = _quant(_ln(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
+            h2_q = _quant(ln_fn(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
             acc = jax.lax.dot_general(
                 h2_q, wf_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)

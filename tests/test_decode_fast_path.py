@@ -90,3 +90,34 @@ def test_eval_frame_cache_skips_decode(tmp_path, monkeypatch):
     monkeypatch.setattr(VideoReader, "from_path", staticmethod(boom))
     second = make()[0]
     np.testing.assert_array_equal(first["video"], second["video"])
+
+
+def test_frame_cache_distinguishes_segments(tmp_path):
+    """Segment datasets repeat one video FILE across rows with different clip
+    times (YouCook2-style); each row must get its own cache entry."""
+    from fitclip_tpu.data.frame_sampler import UniformFrameSampler
+    from fitclip_tpu.data.video_dataset import FramePipeline, VideoDataset
+
+    path = str(tmp_path / "v.avi")
+    _write_video(path, num_frames=12, size=(32, 32))
+
+    class SegmentDataset(VideoDataset):
+        def __init__(self, **kwargs):
+            super().__init__(video_paths=[path, path], **kwargs)
+
+        def _get_target(self, video_idx):
+            return "t"
+
+        def _get_times(self, video_idx):
+            return (0.0, 0.4) if video_idx == 0 else (0.9, 1.4)
+
+    dataset = SegmentDataset(
+        pipelines=FramePipeline(sampler=UniformFrameSampler(2),
+                                transform=lambda frames, rng: frames),
+        frame_cache_dir=str(tmp_path / "cache"))
+    first, second = dataset[0], dataset[1]
+    assert len(os.listdir(str(tmp_path / "cache"))) == 2
+    assert not np.array_equal(first["video"], second["video"])
+    # Warm-cache reads return each segment's own frames.
+    np.testing.assert_array_equal(dataset[0]["video"], first["video"])
+    np.testing.assert_array_equal(dataset[1]["video"], second["video"])
