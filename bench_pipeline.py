@@ -65,6 +65,7 @@ def main() -> None:
     num_threads = int(os.environ.get("BENCH_THREADS", str(os.cpu_count() or 8)))
     bench_dtype = os.environ.get("BENCH_DTYPE", "int8")
     short_side = int(os.environ.get("BENCH_SHORT_SIDE", "0")) or None
+    frame_cache = os.environ.get("BENCH_FRAME_CACHE") or None
     res = os.environ.get("BENCH_RES", "320x240")
     size = tuple(int(v) for v in res.split("x"))
 
@@ -110,7 +111,8 @@ def main() -> None:
 
     paths = sorted(os.path.join(video_dir, f) for f in os.listdir(video_dir))[:num_clips]
     dataset = BenchDataset(paths, pipelines=build_pipeline(encoder, train=False),
-                           decode_short_side=short_side)
+                           decode_short_side=short_side,
+                           frame_cache_dir=frame_cache)
     if os.environ.get("BENCH_TS"):
         # Teacher-student mode: the MixedBatchLoader (labeled + unlabeled
         # sources, fixed per-batch composition) with its thread-pool prefetch
@@ -189,6 +191,7 @@ def main() -> None:
         "num_threads": num_threads,
         "host_cpus": os.cpu_count(),
         "short_side": short_side,
+        "frame_cache": bool(frame_cache),
         "source_res": res,
     }))
 
