@@ -69,6 +69,12 @@ _COMMON_VERBS = {
     "hope", "develop", "carry", "break", "receive", "agree", "support", "hit",
     "produce", "eat", "cover", "catch", "draw", "choose", "throw", "sing",
     "jump", "swim", "cook", "dance", "climb", "ride", "drive", "fly",
+    # Instruction-domain base forms (the demo corpus is how-to ASR).
+    "pour", "shake", "mix", "stir", "add", "place", "press", "pull",
+    "push", "wash", "chop", "slice", "bake", "boil", "fry", "grill",
+    "peel", "spread", "wipe", "fold", "wrap", "attach", "insert",
+    "tighten", "loosen", "measure", "heat", "cool", "dry", "fill",
+    "drain", "squeeze", "rub", "brush", "spray", "scrub", "flip",
 }
 
 
