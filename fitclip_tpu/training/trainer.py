@@ -93,7 +93,14 @@ class Trainer:
                           if config.early_stopping else None)
         ckpt = config.checkpoint
         last_time_ckpt = time.time()
-        jitted = jax.jit(train_step)
+        # Donate the TrainState: params + AdamW moments update in place, so
+        # HBM holds one state copy instead of old+new across the step (the
+        # difference between fitting and OOMing a larger tower/batch on one
+        # chip). The loop rebinds `state` to the step output immediately, so
+        # the donated input is never touched again. CPU/interpret backends
+        # don't implement donation — skip to avoid a per-compile warning.
+        donate = (0,) if jax.default_backend() in ("tpu", "gpu") else ()
+        jitted = jax.jit(train_step, donate_argnums=donate)
         global_step = int(state.step)
         stop = False
 
