@@ -161,6 +161,10 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
         fit_temperature=fit_temperature,
         gradient_clip_val=trainer_cfg.get("gradient_clip_val"),
         params_example=params_template,
+        # Single-HBM-pass AdamW (see FusedAdamW). Same math as the optax
+        # chain (tests/test_fused_optimizer.py); the opt_state layout differs,
+        # so a checkpoint saved under one setting resumes under the same one.
+        fused=bool(optimizer_cfg.get("fused", True)),
     )
     state = init_train_state(student.params, optimizer,
                              init_temperature=init_temperature,

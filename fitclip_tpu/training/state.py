@@ -61,15 +61,132 @@ def freeze_mask(params: Params, patterns: Sequence[str]) -> Params:
     return mask
 
 
+class FusedAdamW(tuple):
+    """Drop-in optimizer with optax's (init, update) surface plus a
+    single-pass ``fused_apply``.
+
+    optax splits each step into update() (materializes an updates tree) and
+    apply_updates() (re-reads params) — nominally 2 extra HBM passes over the
+    full fp32 parameter set per step. ``fused_apply`` computes new (p, m, v)
+    per leaf in ONE expression, so XLA emits one loop fusion per leaf:
+    4 reads + 3 writes, nothing materialized between. Measured win at
+    ViT-B/16 CLIP b=16 (same-session A/B, scripts/bench_train.py): 68.6 vs
+    69.6 ms/step — ~1 ms, small because XLA already fuses most of the optax
+    chain inside the jitted step; what remains is the updates-tree
+    materialization this removes.
+    The math term-for-term matches optax.adamw (bias correction on count+1,
+    eps outside the sqrt, decoupled weight decay, -lr last), asserted by
+    tests/test_fused_optimizer.py. Frozen leaves are skipped at trace time
+    and carry scalar moment placeholders instead of zero trees.
+    """
+    __slots__ = ()
+
+    def __new__(cls, init, update, fused_apply):
+        return tuple.__new__(cls, (init, update, fused_apply))
+
+    @property
+    def init(self):
+        return self[0]
+
+    @property
+    def update(self):
+        return self[1]
+
+    @property
+    def fused_apply(self):
+        return self[2]
+
+
+def make_fused_adamw(learning_rate, weight_decay: float, betas, eps: float,
+                     mask: Optional[Params],
+                     gradient_clip_val: Optional[float]) -> FusedAdamW:
+    b1, b2 = betas
+
+    def trainable_mask(params):
+        return (mask if mask is not None
+                else jax.tree_util.tree_map(lambda _: True, params))
+
+    def init(params):
+        def moment(p, trainable):
+            # Frozen leaves carry a scalar placeholder, not a full zero tree
+            # ((0,)-sized arrays would be smaller still, but Orbax refuses to
+            # serialize zero-size arrays, breaking checkpoint save/resume).
+            return (jnp.zeros_like(p) if trainable
+                    else jnp.zeros((), jnp.float32))
+        m = jax.tree_util.tree_map(moment, params, trainable_mask(params))
+        v = jax.tree_util.tree_map(moment, params, trainable_mask(params))
+        return {"count": jnp.zeros((), jnp.int32), "mu": m, "nu": v}
+
+    def fused_apply(params, grads, opt_state):
+        count_inc = opt_state["count"] + 1
+        lr = (learning_rate(opt_state["count"]) if callable(learning_rate)
+              else learning_rate)
+        bc1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+
+        live = trainable_mask(params)
+        if gradient_clip_val:
+            # Like the optax chain, the norm spans trainable leaves only
+            # (multi_transform routes frozen leaves around the clip+adam).
+            norm = optax.global_norm([
+                g for g, t in zip(jax.tree_util.tree_leaves(grads),
+                                  jax.tree_util.tree_leaves(live)) if t])
+            clip_scale = jnp.minimum(1.0, gradient_clip_val / jnp.maximum(
+                norm, 1e-16))
+        else:
+            clip_scale = None
+
+        def leaf(p, g, m, v, trainable):
+            if not trainable:
+                return p, m, v
+            if clip_scale is not None:
+                g = g * clip_scale
+            new_m = b1 * m + (1.0 - b1) * g
+            new_v = b2 * v + (1.0 - b2) * (g * g)
+            adam = (new_m / bc1) / (jnp.sqrt(new_v / bc2) + eps)
+            return p - lr * (adam + weight_decay * p), new_m, new_v
+
+        out = jax.tree_util.tree_map(leaf, params, grads, opt_state["mu"],
+                                     opt_state["nu"], live)
+        pick = lambda i: jax.tree_util.tree_map(  # noqa: E731
+            lambda t: t[i], out, is_leaf=lambda x: isinstance(x, tuple))
+        return pick(0), {"count": count_inc, "mu": pick(1), "nu": pick(2)}
+
+    def update(grads, opt_state, params=None):
+        """optax-compatible two-pass fallback (generic consumers only — the
+        train steps all go through fused_apply)."""
+        if params is None:
+            raise ValueError("FusedAdamW.update requires params")
+        new_params, new_state = fused_apply(params, grads, opt_state)
+        updates = jax.tree_util.tree_map(lambda n, p: n - p, new_params, params)
+        return updates, new_state
+
+    return FusedAdamW(init, update, fused_apply)
+
+
 def make_optimizer(learning_rate, weight_decay: float = 0.01,
                    betas: Tuple[float, float] = (0.9, 0.999), eps: float = 1e-8,
                    freeze_patterns: Optional[Sequence[str]] = None,
                    fit_temperature: bool = True,
                    gradient_clip_val: Optional[float] = None,
-                   params_example: Optional[Params] = None) -> optax.GradientTransformation:
+                   params_example: Optional[Params] = None,
+                   fused: bool = False):
     """AdamW matching the reference default optimizer (config/trainer.yaml:
     torch.optim.AdamW, lr 3e-6), with optional global-norm clipping (the
-    reference sweeps trainer.gradient_clip_val)."""
+    reference sweeps trainer.gradient_clip_val). ``fused=True`` returns the
+    single-HBM-pass update (see FusedAdamW); math is identical."""
+    if fused:
+        patterns = list(freeze_patterns or [])
+        if not fit_temperature:
+            patterns.append(r"^(ts_)?logit_scale$")
+        mask = None
+        if patterns:
+            if params_example is None:
+                raise ValueError(
+                    "freeze_patterns requires params_example to build the mask")
+            mask = freeze_mask(params_example, patterns)
+        return make_fused_adamw(learning_rate, weight_decay, betas, eps,
+                                mask, gradient_clip_val)
     chain = []
     if gradient_clip_val:
         chain.append(optax.clip_by_global_norm(gradient_clip_val))
@@ -110,9 +227,14 @@ def init_train_state(encoder_params: Params, optimizer: optax.GradientTransforma
 
 
 def apply_updates_with_clamp(state: TrainState, grads: Params,
-                             optimizer: optax.GradientTransformation) -> TrainState:
-    updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
+                             optimizer) -> TrainState:
+    if isinstance(optimizer, FusedAdamW):
+        new_params, new_opt_state = optimizer.fused_apply(
+            state.params, grads, state.opt_state)
+    else:
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
     # Temperature clamp: logit_scale <= max_logit_scale, applied post-step
     # exactly like the reference optimizer_step override.
     new_params["logit_scale"] = jnp.minimum(new_params["logit_scale"], state.max_logit_scale)

@@ -33,6 +33,8 @@ def main() -> None:
                         help="dots = save matmul outputs, recompute eltwise")
     parser.add_argument("--no-fused", action="store_true",
                         help="einsum attention instead of the Pallas kernel")
+    parser.add_argument("--optax-adamw", action="store_true",
+                        help="two-pass optax chain instead of FusedAdamW")
     args = parser.parse_args()
 
     remat = ("dots" if args.remat and args.remat_policy == "dots"
@@ -42,7 +44,7 @@ def main() -> None:
                                    fused_attention=not args.no_fused,
                                    remat=remat)
     params = encoder.init_params(jax.random.PRNGKey(0))
-    optimizer = make_optimizer(3e-6)
+    optimizer = make_optimizer(3e-6, fused=not args.optax_adamw)
     rng = np.random.default_rng(0)
     size = encoder.preprocess.image_size
 
