@@ -185,7 +185,15 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
         resume_trainer_state = load_trainer_state(checkpoint_path)
         LOGGER.info("Resumed full TrainState at step %d from %s",
                     int(state.step), checkpoint_path)
-    state = jax.device_put(state, replicated(mesh))
+    if bool(trainer_cfg.get("fsdp", False)) and mesh.shape.get("data", 1) > 1:
+        # ZeRO-3/FSDP: params + AdamW moments sharded over the data axis;
+        # GSPMD inserts the per-use all-gathers (parallel/sharding_rules.py).
+        from fitclip_tpu.parallel.sharding_rules import fsdp_shardings
+
+        state = jax.device_put(state, fsdp_shardings(state, mesh))
+        LOGGER.info("FSDP: TrainState sharded over data=%d", mesh.shape["data"])
+    else:
+        state = jax.device_put(state, replicated(mesh))
 
     teacher_params = None
     if is_teacher_student:

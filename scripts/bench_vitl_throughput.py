@@ -22,7 +22,11 @@ def main() -> None:
     from fitclip_tpu.utils.benchmarking import sustained_seconds_per_step
 
     batch_clips = int(os.environ.get("BENCH_CLIPS", "32"))
-    config = CLIPConfig.vit_l_14()
+    # BENCH_IMAGE_SIZE=336 exercises the clip_vit_l_14_336px config: L=577
+    # tokens — odd AND non-multiple-of-128, the Mosaic padding worst case for
+    # the megakernel's (L, L) logits tiles.
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "224"))
+    config = CLIPConfig.vit_l_14(image_size=image_size)
     bf16 = ClipVideoTextEncoder(config, num_frames=4, dtype=jnp.bfloat16,
                                 fused_attention=False)
     params = bf16.init_params(jax.random.PRNGKey(0))
@@ -30,8 +34,9 @@ def main() -> None:
                                    fused_attention=True, quantized=True)
     qp = quantize_clip_params(params)
     rng = np.random.default_rng(0)
-    video = jnp.asarray(rng.integers(0, 256, size=(batch_clips, 4, 224, 224, 3),
-                                     dtype=np.uint8))
+    video = jnp.asarray(
+        rng.integers(0, 256, size=(batch_clips, 4, image_size, image_size, 3),
+                     dtype=np.uint8))
     calib_ids = jnp.asarray(rng.integers(1, 49408, size=(8, 77)).astype(np.int32))
     qp = jax.device_put(encoder.calibrate(qp, video[:2], calib_ids))
 
@@ -52,7 +57,7 @@ def main() -> None:
 
     seconds = sustained_seconds_per_step(
         lambda s: chain(jnp.int32(s), qp, video))
-    print(json.dumps({"metric": "clip_vit_l14_eval_throughput",
+    print(json.dumps({"metric": f"clip_vit_l14_{image_size}px_eval_throughput",
                       "value": round(batch_clips / seconds, 1),
                       "unit": "clips/sec/chip",
                       "cosine_gate": round(cos, 5),

@@ -125,6 +125,31 @@ def test_run_train_contrastive_end_to_end(msrvtt_env, vocab_paths, tmp_path):
     assert any("r1" in line for line in lines)
 
 
+def test_run_train_fsdp_end_to_end(msrvtt_env, vocab_paths, tmp_path, caplog):
+    """++trainer.fsdp=true through the real CLI: the TrainState (params +
+    AdamW moments) shards over the 8-device data mesh
+    (parallel/sharding_rules.fsdp_shardings) and training still completes."""
+    import logging
+
+    cfg = compose(DEFAULT_CONFIG_DIR, "trainer",
+                  ["command=train", "encoder=clip_vit_b_16", "data=msrvtt",
+                   "+data.batch_size=1", "+data.num_threads=2",
+                   "data.eval_batch_size=4",
+                   "trainer.max_epochs=1", "optimizer.lr=1e-4",
+                   "++trainer.fsdp=true", "trainer.log_every_n_steps=1",
+                   f"+log_dir={tmp_path}/logs",
+                   f"trainer.callbacks.checkpoint.dirpath={tmp_path}/ckpt",
+                   "trainer.callbacks.checkpoint.every_n_epochs=1"])
+    cfg["encoder"] = _tiny_encoder_cfg(vocab_paths)
+    with caplog.at_level(logging.INFO, logger="fitclip_tpu.cli.train_runner"):
+        run(cfg)
+    assert any(rec.getMessage() == "FSDP: TrainState sharded over data=8"
+               for rec in caplog.records), "FSDP branch did not engage"
+    log_file = tmp_path / "logs" / "metrics.jsonl"
+    lines = [json.loads(line) for line in log_file.read_text().splitlines()]
+    assert any("loss/train" in line for line in lines)
+
+
 def test_run_train_resnet_end_to_end(msrvtt_env, vocab_paths, tmp_path):
     """The CLIP-ResNet tower trains through the full CLI path: live
     batch-stats BN in the step, EMA running-stat merge, optimizer-frozen

@@ -1,0 +1,126 @@
+"""FSDP/ZeRO-3 state sharding (parallel/sharding_rules.fsdp_shardings).
+
+The reference's DDP keeps a full params+AdamW replica per GPU; here the
+TrainState is annotated sharded over the data axis and GSPMD inserts the
+gathers. These tests pin three things on the virtual 8-device CPU mesh:
+the shard layout actually splits the big leaves (params AND moments), the
+sharded step matches the replicated step numerically, and one step does not
+silently re-replicate the state (the memory win must survive propagation
+through value_and_grad + the fused optimizer update).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fitclip_tpu.models.clip import CLIPConfig
+from fitclip_tpu.models.clip.encoder import ClipVideoTextEncoder
+from fitclip_tpu.parallel import create_mesh, replicated, shard_batch
+from fitclip_tpu.parallel.sharding_rules import fsdp_shardings, shard_params
+from fitclip_tpu.training.state import init_train_state, make_optimizer
+from fitclip_tpu.training.steps import make_contrastive_train_step
+
+
+@pytest.fixture(scope="module")
+def encoder():
+    return ClipVideoTextEncoder(CLIPConfig.tiny_test(), num_frames=2)
+
+
+@pytest.fixture(scope="module")
+def params(encoder):
+    return encoder.init_params(jax.random.PRNGKey(0))
+
+
+def _batch(rng, n, encoder):
+    size = encoder.config.vision.image_size
+    length = encoder.config.text.context_length
+    return {
+        "video": rng.normal(size=(n, encoder.num_frames, size, size, 3)).astype(np.float32),
+        "text": rng.integers(1, 64, size=(n, length)).astype(np.int32),
+    }
+
+
+def _data_axis_leaves(tree):
+    """Leaves whose sharding spec mentions the data axis."""
+    hits = []
+    for leaf in jax.tree_util.tree_leaves(tree):
+        spec = getattr(getattr(leaf, "sharding", None), "spec", None)
+        if spec is not None and "data" in jax.tree_util.tree_leaves(tuple(spec)):
+            hits.append(leaf)
+    return hits
+
+def test_fsdp_layout_shards_params_and_moments(encoder, params):
+    mesh = create_mesh()
+    optimizer = make_optimizer(1e-3, fused=True)
+    state = init_train_state(params, optimizer)
+    sharded = jax.device_put(state, fsdp_shardings(state, mesh))
+
+    big_param_leaves = [l for l in jax.tree_util.tree_leaves(sharded.params)
+                        if l.size >= 4096]
+    assert big_param_leaves, "tiny_test config should still have big kernels"
+    assert len(_data_axis_leaves(sharded.params)) == len(big_param_leaves)
+    # AdamW moments shard identically to their parameters (ZeRO-3, not ZeRO-1).
+    assert len(_data_axis_leaves(sharded.opt_state)) == 2 * len(big_param_leaves)
+    # Per-device bytes actually drop ~8x for the sharded leaves.
+    leaf = big_param_leaves[0]
+    assert leaf.addressable_shards[0].data.size == leaf.size // 8
+    # Small leaves (LN vectors, scalars) replicate.
+    assert sharded.params["logit_scale"].sharding.is_fully_replicated
+
+
+def test_fsdp_step_matches_replicated(encoder, params):
+    mesh = create_mesh()
+    optimizer = make_optimizer(1e-3, fused=True)
+    step = jax.jit(make_contrastive_train_step(encoder, optimizer))
+    batch = shard_batch(_batch(np.random.default_rng(0), 16, encoder), mesh)
+
+    state_rep = jax.device_put(init_train_state(params, optimizer), replicated(mesh))
+    state_fsdp = jax.device_put(init_train_state(params, optimizer),
+                                fsdp_shardings(init_train_state(params, optimizer), mesh))
+
+    for _ in range(2):
+        state_rep, metrics_rep = step(state_rep, batch)
+        state_fsdp, metrics_fsdp = step(state_fsdp, batch)
+        # The second step's loss is computed from the FIRST step's updated
+        # params — matching to 1e-5 is the functional parity check.
+        assert float(metrics_fsdp["loss/train"]) == pytest.approx(
+            float(metrics_rep["loss/train"]), rel=1e-5)
+
+    flat_rep = jax.tree_util.tree_leaves(jax.device_get(state_rep.params))
+    flat_fsdp = jax.tree_util.tree_leaves(jax.device_get(state_fsdp.params))
+    # FSDP repartitions the HLO, so reduction orders differ by last-ulp noise.
+    # Most leaves agree to ~1e-7, but AdamW's m/(sqrt(v)+eps) amplifies ulp
+    # noise to a full lr-sized update wherever a grad is ~zero (fresh in_proj
+    # biases): the bound is a couple of lr (1e-3), not float noise.
+    for a, b in zip(flat_rep, flat_fsdp):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-3, atol=3e-3)
+    # The updated state is still sharded — GSPMD didn't re-replicate it.
+    assert _data_axis_leaves(state_fsdp.params)
+    assert _data_axis_leaves(state_fsdp.opt_state)
+
+
+def test_fsdp_composes_with_tensor_parallel(encoder, params):
+    devices = np.asarray(jax.devices()).reshape(4, 2)
+    mesh = create_mesh(devices, axis_names=("data", "model"))
+    optimizer = make_optimizer(1e-3, fused=True)
+    state = init_train_state(params, optimizer)
+    shardings = fsdp_shardings(state, mesh)
+
+    # A TP-ruled kernel carries BOTH axes (Megatron + ZeRO 2-D layout).
+    found_2d = False
+    for path, sharding in jax.tree_util.tree_leaves_with_path(shardings):
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+        if path_str.endswith("attn/in_proj/kernel") and "opt_state" not in path_str:
+            axes = set(jax.tree_util.tree_leaves(tuple(sharding.spec)))
+            found_2d = axes >= {"data", "model"}
+    assert found_2d
+
+    sharded = jax.device_put(state, shardings)
+    step = jax.jit(make_contrastive_train_step(encoder, optimizer))
+    batch = shard_batch(_batch(np.random.default_rng(1), 16, encoder), mesh)
+    new_state, metrics = step(sharded, batch)
+    assert np.isfinite(float(metrics["loss/train"]))
+    assert int(new_state.step) == 1
