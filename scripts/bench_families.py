@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Zero-shot video-eval throughput for EVERY encoder family on one chip.
+
+bench.py measures the flagship (CLIP ViT-B/16 megakernel); this accounts for
+the rest of the zoo — the flax/XLA eval paths the reference runs through
+torch CUDA (SURVEY §2.4): CLIP RN50, SLIP ViT-S, Frozen-in-Time, MIL-NCE
+S3DG, VideoCLIP. Random-init weights (throughput is weight-agnostic); each
+family is fed its OWN eval geometry from its PreprocessSpec, so clips/sec
+numbers are comparable to a real `command=evaluate` run.
+
+Relay-safe timing (chained fori_loop + fetch barrier) per
+fitclip_tpu/utils/benchmarking.py. Prints one JSON line per family.
+
+Usage: python scripts/bench_families.py [family ...]  (default: all)
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _families():
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.clip.resnet_clip import (RESNET_PRESETS,
+                                                     ResNetClipVideoTextEncoder)
+    from fitclip_tpu.models.frozen_in_time.encoder import FrozenInTimeVideoTextEncoder
+    from fitclip_tpu.models.mil_nce import MilNceVideoTextEncoder
+    from fitclip_tpu.models.slip import SlipVideoTextEncoder
+    from fitclip_tpu.models.videoclip import VideoClipVideoTextEncoder
+
+    # (builder, default batch) — batches sized to each family's eval frame
+    # count so the video tensor + activations stay comfortably inside HBM.
+    return {
+        "clip_rn50": (lambda: ResNetClipVideoTextEncoder(
+            RESNET_PRESETS["RN50"], num_frames=4, dtype=jnp.bfloat16), 32),
+        "slip_vit_s": (lambda: SlipVideoTextEncoder(num_frames=4,
+                                                    dtype=jnp.bfloat16), 32),
+        "frozen_in_time": (lambda: FrozenInTimeVideoTextEncoder(num_frames=4), 32),
+        "mil_nce_s3dg": (lambda: MilNceVideoTextEncoder(dtype=jnp.bfloat16), 16),
+        "videoclip": (lambda: VideoClipVideoTextEncoder(), 8),
+    }
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.utils.benchmarking import sustained_seconds_per_step
+
+    selected = sys.argv[1:] or None
+    rng = np.random.default_rng(0)
+
+    for name, (build, default_batch) in _families().items():
+        if selected and name not in selected:
+            continue
+        batch_clips = int(os.environ.get("BENCH_CLIPS", default_batch))
+        encoder = build()
+        spec = encoder.preprocess
+        frames = spec.pad_to_min_frames or spec.num_frames
+        size = spec.image_size
+        params = jax.device_put(encoder.init_params(jax.random.PRNGKey(0)))
+        video = jnp.asarray(rng.normal(
+            size=(batch_clips, frames, size, size, 3)).astype(np.float32))
+
+        @jax.jit
+        def chain(params, video, steps, encoder=encoder):
+            def body(i, carry):
+                v = video * (1.0 + carry.astype(jnp.float32) * 1e-6)
+                emb = encoder.encode_video(params, v)
+                return carry + (jnp.abs(emb).sum() > 0).astype(jnp.int32)
+            return jax.lax.fori_loop(0, steps, body, jnp.int32(0))
+
+        seconds = sustained_seconds_per_step(
+            lambda s, p=params, v=video: chain(p, v, jnp.int32(s)))
+        print(json.dumps({
+            "metric": f"{name}_eval_throughput",
+            "value": round(batch_clips / seconds, 1),
+            "unit": "clips/sec/chip",
+            "frames_per_clip": int(frames),
+            "image_size": int(size),
+            "batch_clips": batch_clips,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
