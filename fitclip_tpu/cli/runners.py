@@ -73,20 +73,12 @@ def _shard_mapped(step, encoder, mesh, num_batch_args: int):
     if not getattr(encoder, "fused_block", False) or mesh.devices.size == 1:
         return step
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
-    kwargs = dict(mesh=mesh,
-                  in_specs=(P(),) + (P("data"),) * num_batch_args,
-                  out_specs=P("data"))
-    try:
-        # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
-        # annotation, which the default check rejects.
-        return shard_map(step, check_vma=False, **kwargs)
-    except TypeError:
-        # jax ~0.6-0.7 exposes jax.shard_map but still spells it check_rep.
-        return shard_map(step, check_rep=False, **kwargs)
+
+    from fitclip_tpu.parallel.mesh import shard_map_compat
+
+    return shard_map_compat(step, mesh=mesh,
+                            in_specs=(P(),) + (P("data"),) * num_batch_args,
+                            out_specs=P("data"))
 
 
 def _load_persisted_scales(encoder, params, quant_cfg) -> Tuple[Any, bool]:

@@ -193,6 +193,10 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
         state = jax.device_put(state, fsdp_shardings(state, mesh))
         LOGGER.info("FSDP: TrainState sharded over data=%d", mesh.shape["data"])
     else:
+        if bool(trainer_cfg.get("fsdp", False)):
+            LOGGER.warning(
+                "++trainer.fsdp=true has no effect on a %d-device data mesh; "
+                "the TrainState is fully replicated.", mesh.shape.get("data", 1))
         state = jax.device_put(state, replicated(mesh))
 
     teacher_params = None

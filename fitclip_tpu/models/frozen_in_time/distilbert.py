@@ -46,18 +46,23 @@ class _LayerNorm(nn.Module):
 
 class TransformerBlock(nn.Module):
     config: DistilBertConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, attention_mask):
         cfg = self.config
         head_dim = cfg.dim // cfg.n_heads
 
+        def dense(features, name):
+            return nn.Dense(features, name=name, precision=PRECISION,
+                            dtype=self.dtype)
+
         def heads(t):
             return t.reshape(*t.shape[:-1], cfg.n_heads, head_dim)
 
-        q = heads(nn.Dense(cfg.dim, name="attention_q_lin", precision=PRECISION)(x))
-        k = heads(nn.Dense(cfg.dim, name="attention_k_lin", precision=PRECISION)(x))
-        v = heads(nn.Dense(cfg.dim, name="attention_v_lin", precision=PRECISION)(x))
+        q = heads(dense(cfg.dim, "attention_q_lin")(x))
+        k = heads(dense(cfg.dim, "attention_k_lin")(x))
+        v = heads(dense(cfg.dim, "attention_v_lin")(x))
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=PRECISION,
                             preferred_element_type=jnp.float32) / (head_dim ** 0.5)
         logits = jnp.where(attention_mask[:, None, None, :] > 0, logits,
@@ -65,17 +70,20 @@ class TransformerBlock(nn.Module):
         weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", weights, v, precision=PRECISION)
         attn = attn.reshape(*x.shape)
-        attn = nn.Dense(cfg.dim, name="attention_out_lin", precision=PRECISION)(attn)
+        attn = dense(cfg.dim, "attention_out_lin")(attn)
         x = _LayerNorm(name="sa_layer_norm")(x + attn)
 
-        h = nn.Dense(cfg.hidden_dim, name="ffn_lin1", precision=PRECISION)(x)
+        h = dense(cfg.hidden_dim, "ffn_lin1")(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.dim, name="ffn_lin2", precision=PRECISION)(h)
+        h = dense(cfg.dim, "ffn_lin2")(h)
         return _LayerNorm(name="output_layer_norm")(x + h)
 
 
 class DistilBertModel(nn.Module):
     config: DistilBertConfig
+    # fp32 (default) = torch-oracle parity; bf16 = production TPU eval
+    # (LayerNorms/softmax stay fp32 either way).
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray,
@@ -86,9 +94,10 @@ class DistilBertModel(nn.Module):
         position = self.param("position_embeddings", nn.initializers.normal(0.02),
                               (cfg.max_position_embeddings, cfg.dim))
         x = word[input_ids] + position[: input_ids.shape[1]]
-        x = _LayerNorm(name="embeddings_layer_norm")(x)
+        x = _LayerNorm(name="embeddings_layer_norm")(x).astype(self.dtype)
         for i in range(cfg.n_layers):
-            x = TransformerBlock(cfg, name=f"layer_{i}")(x, attention_mask)
+            x = TransformerBlock(cfg, dtype=self.dtype,
+                                 name=f"layer_{i}")(x, attention_mask)
         return x  # last_hidden_state
 
 

@@ -56,14 +56,27 @@ class FrozenInTimeConfig:
 class FrozenInTimeVideoTextEncoder(VideoTextEncoder):
     def __init__(self, config: Optional[FrozenInTimeConfig] = None,
                  num_frames: int = 4, max_tokens: int = 77,
-                 tokenizer=None, vocab_path: Optional[str] = None) -> None:
+                 tokenizer=None, vocab_path: Optional[str] = None,
+                 dtype=jnp.float32) -> None:
+        # dtype: fp32 (default) matches the torch oracle to <=1e-4; bf16 is
+        # the production TPU eval config (measured 67 -> see BASELINE.md;
+        # fp32 HIGHEST matmuls are multi-pass-emulated on v5e). Both towers'
+        # LayerNorms and softmaxes stay fp32 regardless.
         self.config = config or FrozenInTimeConfig()
         cfg = self.config
+        if isinstance(dtype, str):
+            from fitclip_tpu.models.clip.load import _DTYPES
+
+            if dtype not in _DTYPES:
+                raise ValueError(f"Unknown encoder dtype {dtype!r} — expected "
+                                 f"one of {sorted(_DTYPES)}")
+            dtype = _DTYPES[dtype]
+        self.dtype = dtype
         self.video_model = SpaceTimeTransformer(
             embed_dim=cfg.embed_dim, depth=cfg.depth, num_heads=cfg.num_heads,
             patch_size=cfg.patch_size, img_size=cfg.img_size,
-            num_frames=cfg.num_frames)
-        self.text_model = DistilBertModel(cfg.text)
+            num_frames=cfg.num_frames, dtype=self.dtype)
+        self.text_model = DistilBertModel(cfg.text, dtype=self.dtype)
         self._tokenizer = tokenizer
         self._vocab_path = vocab_path
         self.num_frames = num_frames
@@ -205,14 +218,16 @@ def frozen_in_time_params_from_torch(state_dict: Mapping[str, np.ndarray],
 def load_frozen_in_time_encoder(checkpoint_path: Optional[str] = None,
                                 num_frames: int = 4, max_tokens: int = 77,
                                 vocab_path: Optional[str] = None,
-                                temporal_inflation: str = "zeros", seed: int = 0):
-    """config/encoder/frozen_in_time* factory."""
+                                temporal_inflation: str = "zeros", seed: int = 0,
+                                dtype: str = "float32"):
+    """config/encoder/frozen_in_time* factory. ++encoder.dtype=bfloat16
+    selects the fast TPU eval configuration (see FrozenInTimeVideoTextEncoder)."""
     from fitclip_tpu.models.clip.load import LoadedEncoder
 
     config = FrozenInTimeConfig(num_frames=num_frames)
     encoder = FrozenInTimeVideoTextEncoder(config, num_frames=num_frames,
                                            max_tokens=max_tokens,
-                                           vocab_path=vocab_path)
+                                           vocab_path=vocab_path, dtype=dtype)
     if checkpoint_path:
         from fitclip_tpu.convert.torch_state_dict import load_torch_state_dict
 

@@ -47,12 +47,14 @@ class VarAttention(nn.Module):
     (video_transformer.py:81-138)."""
     dim: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mode: str, frames: int, patches: int):
         h = self.num_heads
         head_dim = self.dim // h
-        qkv = nn.Dense(3 * self.dim, name="qkv", precision=PRECISION)(x)
+        qkv = nn.Dense(3 * self.dim, name="qkv", precision=PRECISION,
+                       dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def to_heads(t):  # (B, N, D) -> (B*h, N, d)
@@ -101,25 +103,31 @@ class VarAttention(nn.Module):
         b = out.shape[0] // h
         n = out.shape[1]
         out = out.reshape(b, h, n, head_dim).transpose(0, 2, 1, 3).reshape(b, n, self.dim)
-        return nn.Dense(self.dim, name="proj", precision=PRECISION)(out)
+        return nn.Dense(self.dim, name="proj", precision=PRECISION,
+                        dtype=self.dtype)(out)
 
 
 class SpaceTimeBlock(nn.Module):
     dim: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, frames: int, patches: int):
-        time_out = VarAttention(self.dim, self.num_heads, name="timeattn")(
+        time_out = VarAttention(self.dim, self.num_heads, dtype=self.dtype,
+                                name="timeattn")(
             LayerNormTorch(name="norm3")(x), "time", frames, patches)
         time_residual = x + time_out
-        space_out = VarAttention(self.dim, self.num_heads, name="attn")(
+        space_out = VarAttention(self.dim, self.num_heads, dtype=self.dtype,
+                                 name="attn")(
             LayerNormTorch(name="norm1")(time_residual), "space", frames, patches)
         space_residual = x + space_out  # frozen-in-time: residual from the input
         h = LayerNormTorch(name="norm2")(space_residual)
-        h = nn.Dense(4 * self.dim, name="mlp_fc1", precision=PRECISION)(h)
+        h = nn.Dense(4 * self.dim, name="mlp_fc1", precision=PRECISION,
+                     dtype=self.dtype)(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="mlp_fc2", precision=PRECISION)(h)
+        h = nn.Dense(self.dim, name="mlp_fc2", precision=PRECISION,
+                     dtype=self.dtype)(h)
         return space_residual + h
 
 
@@ -133,16 +141,22 @@ class SpaceTimeTransformer(nn.Module):
     patch_size: int = 16
     img_size: int = 224
     num_frames: int = 4
+    # Compute dtype: fp32 (default) is the torch-oracle parity configuration;
+    # bf16 is the production TPU eval configuration (fp32 HIGHEST matmuls are
+    # ~6x emulated-pass cost on v5e). LayerNorms/softmax stay fp32 either way.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
+        video = video.astype(self.dtype)
         b, f = video.shape[0], video.shape[1]
         g, p = self.img_size // self.patch_size, self.patch_size
         patches_per_frame = g * g
 
         x = video.reshape(b * f, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5) \
                  .reshape(b * f, g * g, p * p * 3)
-        x = nn.Dense(self.embed_dim, name="patch_embed", precision=PRECISION)(x)
+        x = nn.Dense(self.embed_dim, name="patch_embed", precision=PRECISION,
+                     dtype=self.dtype)(x)
         x = x.reshape(b, f * patches_per_frame, self.embed_dim)
 
         cls_token = self.param("cls_token", nn.initializers.zeros,
@@ -152,15 +166,17 @@ class SpaceTimeTransformer(nn.Module):
         temporal_embed = self.param("temporal_embed", nn.initializers.zeros,
                                     (self.num_frames, self.embed_dim))
 
-        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)), x],
-                            axis=1)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(self.dtype),
+                              (b, 1, self.embed_dim)), x], axis=1)
         tile_pos = jnp.tile(pos_embed[1:], (self.num_frames, 1))
         tile_temporal = jnp.repeat(temporal_embed, patches_per_frame, axis=0)
         total = jnp.concatenate([pos_embed[:1], tile_pos + tile_temporal], axis=0)
-        x = x + total[: x.shape[1]]
+        x = x + total[: x.shape[1]].astype(self.dtype)
 
         for i in range(self.depth):
-            x = SpaceTimeBlock(self.embed_dim, self.num_heads, name=f"blocks_{i}")(
+            x = SpaceTimeBlock(self.embed_dim, self.num_heads, dtype=self.dtype,
+                               name=f"blocks_{i}")(
                 x, frames=f, patches=patches_per_frame)
         x = LayerNormTorch(name="norm")(x)
         return x[:, 0]

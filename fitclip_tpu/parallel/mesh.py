@@ -19,6 +19,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def shard_map_compat(fn, **kwargs):
+    """jax.shard_map across the supported jax versions: the import moved out
+    of experimental (~0.8) and the replication-check kwarg was renamed
+    check_rep -> check_vma. Both checks are disabled — callers here wrap
+    pallas_calls (whose out_shapes carry no varying-mesh-axes annotation) or
+    device-varying pipeline schedules."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    try:
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - jax ~0.6-0.7 spelling
+        return shard_map(fn, check_rep=False, **kwargs)
+
+
 def create_mesh(devices: Optional[Sequence] = None,
                 axis_names: Sequence[str] = (DATA_AXIS,)) -> Mesh:
     """A 1-D data mesh over all local devices by default; pass a reshaped

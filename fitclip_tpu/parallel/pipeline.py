@@ -24,10 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:
-    from jax import shard_map  # jax >= 0.8
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+from fitclip_tpu.parallel.mesh import shard_map_compat
 
 PIPE_AXIS = "pipe"
 
@@ -99,10 +96,11 @@ def pipeline_apply(layer_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         # them ring-wide (differentiable broadcast).
         return jax.lax.psum(jnp.where(last, out_buf, 0.0), axis)
 
+    # Memory model: parameters shard S-fold (the point of PP — stage s holds
+    # only its layers); the microbatched INPUT and the psum'd output replicate
+    # across stages (in/out_specs P()) — for the deep-tower use case the
+    # layer weights dominate, and the batch arrives replicated anyway.
     param_specs = jax.tree_util.tree_map(lambda _: P(axis), layer_params)
-    kwargs = dict(mesh=mesh, in_specs=(param_specs, P()), out_specs=P())
-    try:
-        program = shard_map(stage_program, check_vma=False, **kwargs)
-    except TypeError:  # jax ~0.6-0.7 spells it check_rep
-        program = shard_map(stage_program, check_rep=False, **kwargs)
+    program = shard_map_compat(stage_program, mesh=mesh,
+                               in_specs=(param_specs, P()), out_specs=P())
     return program(layer_params, microbatches).reshape((batch,) + x.shape[1:])

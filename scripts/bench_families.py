@@ -37,9 +37,10 @@ def _families():
     return {
         "clip_rn50": (lambda: ResNetClipVideoTextEncoder(
             RESNET_PRESETS["RN50"], num_frames=4, dtype=jnp.bfloat16), 32),
-        "slip_vit_s": (lambda: SlipVideoTextEncoder(num_frames=4,
-                                                    dtype=jnp.bfloat16), 32),
-        "frozen_in_time": (lambda: FrozenInTimeVideoTextEncoder(num_frames=4), 32),
+        "slip_vit_b16": (lambda: SlipVideoTextEncoder(
+            num_frames=4, dtype=jnp.bfloat16, fused_attention=True), 32),
+        "frozen_in_time": (lambda: FrozenInTimeVideoTextEncoder(
+            num_frames=4, dtype=jnp.bfloat16), 32),
         "mil_nce_s3dg": (lambda: MilNceVideoTextEncoder(dtype=jnp.bfloat16), 16),
         "videoclip": (lambda: VideoClipVideoTextEncoder(), 8),
     }
@@ -52,6 +53,11 @@ def main() -> None:
     from fitclip_tpu.utils.benchmarking import sustained_seconds_per_step
 
     selected = sys.argv[1:] or None
+    if selected:
+        unknown = set(selected) - set(_families())
+        if unknown:
+            sys.exit(f"unknown families {sorted(unknown)}; "
+                     f"choose from {sorted(_families())}")
     rng = np.random.default_rng(0)
 
     for name, (build, default_batch) in _families().items():

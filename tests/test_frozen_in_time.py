@@ -187,3 +187,32 @@ def test_temporal_embed_inflation():
     np.testing.assert_allclose(interp[0], embed[0])
     np.testing.assert_allclose(interp[-1], embed[-1])
     assert inflate_temporal_embed(embed, 2, "zeros").shape == (2, 2)
+
+
+def test_bf16_eval_config_close_to_fp32():
+    """++encoder.dtype=bfloat16 (the fast TPU eval configuration) must stay
+    embedding-equivalent to the fp32 parity configuration: same params, both
+    dtypes, cosine > 0.999 on video AND text."""
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.frozen_in_time.encoder import (
+        FrozenInTimeConfig, FrozenInTimeVideoTextEncoder)
+
+    config = FrozenInTimeConfig.tiny_test()
+    fp32 = FrozenInTimeVideoTextEncoder(config, num_frames=2)
+    bf16 = FrozenInTimeVideoTextEncoder(config, num_frames=2, dtype="bfloat16")
+    params = fp32.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.integers(0, 255, (3, 2, 32, 32, 3), dtype=np.uint8))
+    ids = jnp.asarray(rng.integers(1, 90, (3, 8)).astype(np.int32))
+
+    def cosine(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return float(((a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                                         * np.linalg.norm(b, axis=-1))).min())
+
+    assert cosine(bf16.encode_video(params, video),
+                  fp32.encode_video(params, video)) > 0.999
+    assert cosine(bf16.encode_text(params, ids),
+                  fp32.encode_text(params, ids)) > 0.999

@@ -115,7 +115,7 @@ def test_fsdp_composes_with_tensor_parallel(encoder, params):
         path_str = "/".join(str(getattr(k, "key", k)) for k in path)
         if path_str.endswith("attn/in_proj/kernel") and "opt_state" not in path_str:
             axes = set(jax.tree_util.tree_leaves(tuple(sharding.spec)))
-            found_2d = axes >= {"data", "model"}
+            found_2d = found_2d or axes >= {"data", "model"}
     assert found_2d
 
     sharded = jax.device_put(state, shardings)
