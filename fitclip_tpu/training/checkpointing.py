@@ -13,12 +13,32 @@ from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
 
+_ASYNC_CHECKPOINTER: Optional[ocp.StandardCheckpointer] = None
 
-def save_checkpoint(path: str, state: Any, force: bool = True) -> None:
+
+def save_checkpoint(path: str, state: Any, force: bool = True,
+                    wait: bool = True) -> None:
+    """wait=False starts the Orbax write in the background and returns —
+    the trainer keeps stepping while the previous checkpoint flushes (the
+    caller must pass a HOST snapshot: the train step donates device buffers,
+    so device arrays would be overwritten under an in-flight save). At most
+    one save is in flight; a new save first drains the previous one. Call
+    wait_for_checkpoints() before reading a freshly written checkpoint or
+    exiting."""
+    global _ASYNC_CHECKPOINTER
     path = os.path.abspath(path)
-    checkpointer = ocp.StandardCheckpointer()
-    checkpointer.save(path, state, force=force)
-    checkpointer.wait_until_finished()
+    if _ASYNC_CHECKPOINTER is None:
+        _ASYNC_CHECKPOINTER = ocp.StandardCheckpointer()
+    _ASYNC_CHECKPOINTER.wait_until_finished()
+    _ASYNC_CHECKPOINTER.save(path, state, force=force)
+    if wait:
+        _ASYNC_CHECKPOINTER.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Drain any in-flight async checkpoint write."""
+    if _ASYNC_CHECKPOINTER is not None:
+        _ASYNC_CHECKPOINTER.wait_until_finished()
 
 
 def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:

@@ -177,6 +177,10 @@ class Trainer:
 
         if ckpt:
             self._save(state, os.path.join(ckpt.dirpath, "last"))
+        # Drain the async writer: callers may read "last" immediately.
+        from fitclip_tpu.training.checkpointing import wait_for_checkpoints
+
+        wait_for_checkpoints()
         return state
 
     def _log(self, metrics, step) -> None:
@@ -205,7 +209,9 @@ class Trainer:
 
         if not is_main_process():
             return
-        save_checkpoint(path, jax.device_get(state))
+        # Async write: device_get snapshots to host (the step donates device
+        # buffers), then training overlaps the Orbax flush.
+        save_checkpoint(path, jax.device_get(state), wait=False)
         trainer_state: Dict[str, Any] = {}
         if getattr(self, "_best_monitor", None) is not None:
             trainer_state["best_monitor"] = float(self._best_monitor)
