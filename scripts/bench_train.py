@@ -161,11 +161,27 @@ def main() -> None:
             def timed(s):
                 return chain(jnp.int32(s), state, batch).params["logit_scale"]
         else:
-            teacher_params = jax.device_put(encoder.init_params(jax.random.PRNGKey(1)))
+            if case == "teacher_student_int8_teacher":
+                # Inference-form teacher: the frozen tower never receives
+                # gradients (stop_gradient in the step), so it can run the
+                # int8 whole-layer megakernel — the same config run_train
+                # accepts for the teacher slot (cli/train_runner.py).
+                from fitclip_tpu.ops.quant import quantize_clip_params
+
+                teacher_encoder = ClipVideoTextEncoder(
+                    CLIPConfig.vit_b_16(), num_frames=4, dtype=jnp.bfloat16,
+                    fused_attention=True, quantized=True)
+                qp = quantize_clip_params(jax.device_get(params))
+                qp = teacher_encoder.calibrate(qp, video_batch(4), text_batch(4))
+                teacher_params = jax.device_put(qp)
+            else:
+                teacher_encoder = encoder
+                teacher_params = jax.device_put(
+                    encoder.init_params(jax.random.PRNGKey(1)))
             state = jax.device_put(init_train_state(
                 params, optimizer, with_teacher_student_scale=True))
             train_step = make_teacher_student_train_step(
-                encoder, encoder, optimizer, labeled_loss_share=0.9999)
+                encoder, teacher_encoder, optimizer, labeled_loss_share=0.9999)
             half = max(1, args.batch // 4)  # dual views double the video work
             sub = lambda: {  # noqa: E731
                 "video_student": video_batch(half), "text_student": text_batch(half),
