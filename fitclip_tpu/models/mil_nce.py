@@ -104,7 +104,8 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
                  vocab_path: Optional[str] = None, max_tokens: int = 20,
                  num_frames: int = 16, dtype=jnp.float32,
                  vocab_size: int = 66250) -> None:
-        self.video_model = S3DG()
+        dtype = jnp.dtype(dtype)  # accepts "bfloat16" from config overrides
+        self.video_model = S3DG(dtype=dtype)
         self.text_model = MilNceTextEncoder(vocab_size=vocab_size)
         self.num_frames = num_frames
         self.dtype = dtype
@@ -154,12 +155,14 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
 
 def load_mil_nce_encoder(vocab_path: Optional[str] = None,
                          pretrained_path: Optional[str] = None,
-                         max_tokens: int = 20, num_frames: int = 16, seed: int = 0):
-    """config/encoder/mil_nce.yaml factory."""
+                         max_tokens: int = 20, num_frames: int = 16, seed: int = 0,
+                         dtype="float32"):
+    """config/encoder/mil_nce.yaml factory. ++encoder.dtype=bfloat16 runs the
+    S3DG tower in bf16 (fp32 stays the oracle-parity default)."""
     from fitclip_tpu.models.clip.load import LoadedEncoder
 
     encoder = MilNceVideoTextEncoder(vocab_path=vocab_path, max_tokens=max_tokens,
-                                     num_frames=num_frames)
+                                     num_frames=num_frames, dtype=dtype)
     if pretrained_path:
         from fitclip_tpu.convert.torch_state_dict import load_torch_state_dict
 

@@ -11,6 +11,7 @@ The parameter tree intentionally mirrors the torch module names so the
 checkpoint converter is a mechanical rename.
 """
 
+from functools import partial
 from typing import Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -25,7 +26,12 @@ def _triple(value: Size3) -> Tuple[int, int, int]:
 
 
 class BatchNorm3dInference(nn.Module):
-    """Frozen-statistics BatchNorm (torch eval semantics, default eps 1e-5)."""
+    """Frozen-statistics BatchNorm (torch eval semantics, default eps 1e-5).
+
+    The (inv, shift) affine is derived in fp32 from the fp32 running stats,
+    then cast to the activation dtype so a bf16 tower stays bf16 end-to-end
+    (fp32 affine operands would silently promote every activation tensor
+    back to fp32 — doubling HBM traffic on the conv tower)."""
     features: int
     eps: float = 1e-5
 
@@ -36,7 +42,7 @@ class BatchNorm3dInference(nn.Module):
         mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         var = self.param("running_var", nn.initializers.ones, (self.features,))
         inv = jax.lax.rsqrt(var + self.eps) * scale
-        return x * inv + (bias - mean * inv)
+        return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
 
 
 class STConv3D(nn.Module):
@@ -47,6 +53,7 @@ class STConv3D(nn.Module):
     stride: Size3 = 1
     padding: Size3 = 0
     separable: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -57,7 +64,7 @@ class STConv3D(nn.Module):
         def conv(x, kernel, stride, pad, name):
             return nn.Conv(self.output_dim, kernel_size=kernel, strides=stride,
                            padding=[(q, q) for q in pad], use_bias=False,
-                           name=name)(x)
+                           dtype=self.dtype, name=name)(x)
 
         if self.separable:
             spatial_k, temporal_k = (1, k[1], k[2]), (k[0], 1, 1)
@@ -76,12 +83,16 @@ class STConv3D(nn.Module):
 class SelfGating(nn.Module):
     """Squeeze-and-gate over spatio-temporal average (s3dg.py:48-61)."""
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pooled = x.mean(axis=(1, 2, 3))  # (B, C) over T,H,W
-        weights = jax.nn.sigmoid(nn.Dense(self.features, name="fc")(pooled))
-        return x * weights[:, None, None, None, :]
+        # fp32 accumulation: a bf16 sum over T*H*W (up to ~50k) elements
+        # loses the mean to rounding long before the gate saturates.
+        pooled = x.mean(axis=(1, 2, 3), dtype=jnp.float32).astype(x.dtype)
+        weights = jax.nn.sigmoid(
+            nn.Dense(self.features, dtype=self.dtype, name="fc")(pooled))
+        return x * weights[:, None, None, None, :].astype(x.dtype)
 
 
 def max_pool_3d_tf_padding(x: jnp.ndarray, kernel_size: Size3, stride: Size3) -> jnp.ndarray:
@@ -118,6 +129,7 @@ class InceptionBlock(nn.Module):
     b2b: int
     b3b: int
     gating: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @property
     def output_dim(self) -> int:
@@ -125,18 +137,19 @@ class InceptionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        branch0 = STConv3D(self.b0, 1, name="conv_b0")(x)
-        branch1 = STConv3D(self.b1a, 1, name="conv_b1_a")(x)
-        branch1 = STConv3D(self.b1b, 3, padding=1, separable=True, name="conv_b1_b")(branch1)
-        branch2 = STConv3D(self.b2a, 1, name="conv_b2_a")(x)
-        branch2 = STConv3D(self.b2b, 3, padding=1, separable=True, name="conv_b2_b")(branch2)
+        conv = partial(STConv3D, dtype=self.dtype)
+        branch0 = conv(self.b0, 1, name="conv_b0")(x)
+        branch1 = conv(self.b1a, 1, name="conv_b1_a")(x)
+        branch1 = conv(self.b1b, 3, padding=1, separable=True, name="conv_b1_b")(branch1)
+        branch2 = conv(self.b2a, 1, name="conv_b2_a")(x)
+        branch2 = conv(self.b2b, 3, padding=1, separable=True, name="conv_b2_b")(branch2)
         branch3 = max_pool_3d_tf_padding(x, 3, 1)
-        branch3 = STConv3D(self.b3b, 1, name="conv_b3_b")(branch3)
+        branch3 = conv(self.b3b, 1, name="conv_b3_b")(branch3)
         if self.gating:
-            branch0 = SelfGating(self.b0, name="gating_b0")(branch0)
-            branch1 = SelfGating(self.b1b, name="gating_b1")(branch1)
-            branch2 = SelfGating(self.b2b, name="gating_b2")(branch2)
-            branch3 = SelfGating(self.b3b, name="gating_b3")(branch3)
+            branch0 = SelfGating(self.b0, dtype=self.dtype, name="gating_b0")(branch0)
+            branch1 = SelfGating(self.b1b, dtype=self.dtype, name="gating_b1")(branch1)
+            branch2 = SelfGating(self.b2b, dtype=self.dtype, name="gating_b2")(branch2)
+            branch3 = SelfGating(self.b3b, dtype=self.dtype, name="gating_b3")(branch3)
         return jnp.concatenate([branch0, branch1, branch2, branch3], axis=-1)
 
 
@@ -154,34 +167,38 @@ class S3DG(nn.Module):
     embedding_size: int = 512
     use_space_to_depth: bool = True
     use_last_layer: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        conv = partial(STConv3D, dtype=self.dtype)
+        block = partial(InceptionBlock, dtype=self.dtype)
         if self.use_space_to_depth:
             x = space_to_depth(x)
-            x = STConv3D(64, (2, 4, 4), stride=1, padding=(1, 2, 2), name="conv1")(x)
+            x = conv(64, (2, 4, 4), stride=1, padding=(1, 2, 2), name="conv1")(x)
             x = x[:, 1:, 1:, 1:, :]
         else:
-            x = STConv3D(64, (3, 7, 7), stride=2, padding=(1, 3, 3), name="conv1")(x)
+            x = conv(64, (3, 7, 7), stride=2, padding=(1, 3, 3), name="conv1")(x)
         x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
-        x = STConv3D(64, 1, name="conv_2b")(x)
-        x = STConv3D(192, 3, padding=1, separable=True, name="conv_2c")(x)
-        x = SelfGating(192, name="gating")(x)
+        x = conv(64, 1, name="conv_2b")(x)
+        x = conv(192, 3, padding=1, separable=True, name="conv_2c")(x)
+        x = SelfGating(192, dtype=self.dtype, name="gating")(x)
         x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
-        x = InceptionBlock(64, 96, 128, 16, 32, 32, name="mixed_3b")(x)
-        x = InceptionBlock(128, 128, 192, 32, 96, 64, name="mixed_3c")(x)
+        x = block(64, 96, 128, 16, 32, 32, name="mixed_3b")(x)
+        x = block(128, 128, 192, 32, 96, 64, name="mixed_3c")(x)
         x = max_pool_3d_tf_padding(x, 3, 2)
-        x = InceptionBlock(192, 96, 208, 16, 48, 64, name="mixed_4b")(x)
-        x = InceptionBlock(160, 112, 224, 24, 64, 64, name="mixed_4c")(x)
-        x = InceptionBlock(128, 128, 256, 24, 64, 64, name="mixed_4d")(x)
-        x = InceptionBlock(112, 144, 288, 32, 64, 64, name="mixed_4e")(x)
-        x = InceptionBlock(256, 160, 320, 32, 128, 128, name="mixed_4f")(x)
+        x = block(192, 96, 208, 16, 48, 64, name="mixed_4b")(x)
+        x = block(160, 112, 224, 24, 64, 64, name="mixed_4c")(x)
+        x = block(128, 128, 256, 24, 64, 64, name="mixed_4d")(x)
+        x = block(112, 144, 288, 32, 64, 64, name="mixed_4e")(x)
+        x = block(256, 160, 320, 32, 128, 128, name="mixed_4f")(x)
         x = max_pool_3d_tf_padding(x, 2, 2)
-        x = InceptionBlock(256, 160, 320, 32, 128, 128, name="mixed_5b")(x)
-        x = InceptionBlock(384, 192, 384, 48, 128, 128, name="mixed_5c")(x)
-        x = x.mean(axis=(1, 2, 3))
+        x = block(256, 160, 320, 32, 128, 128, name="mixed_5b")(x)
+        x = block(384, 192, 384, 48, 128, 128, name="mixed_5c")(x)
+        x = x.mean(axis=(1, 2, 3), dtype=jnp.float32).astype(self.dtype)
         if self.use_last_layer:
-            x = nn.Dense(self.embedding_size, name="fc")(x)
+            x = nn.Dense(self.embedding_size, dtype=self.dtype, name="fc")(x)
         return x
 
 

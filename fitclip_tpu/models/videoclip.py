@@ -243,10 +243,14 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
     def __init__(self, config: Optional[BertConfig] = None,
                  num_frames: int = 32, max_tokens: int = 64,
                  frames_per_clip: int = 32,
-                 tokenizer=None, vocab_path: Optional[str] = None) -> None:
+                 tokenizer=None, vocab_path: Optional[str] = None,
+                 dtype=jnp.float32) -> None:
         self.config = config or BertConfig()
         self.model = VideoClipModel(self.config)
-        self.s3dg = S3DG()
+        # dtype runs the S3DG feature extractor (the FLOP/bandwidth bulk of
+        # this encoder) in that dtype; the small MMBert fusion stays fp32.
+        self.dtype = jnp.dtype(dtype)
+        self.s3dg = S3DG(dtype=self.dtype)
         self.num_frames = num_frames
         self.frames_per_clip = frames_per_clip
         self._tokenizer = tokenizer
@@ -324,12 +328,14 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
 def load_videoclip_encoder(model_pretrained_path: Optional[str] = None,
                            video_encoder_pretrained_path: Optional[str] = None,
                            vocab_path: Optional[str] = None,
-                           num_frames: int = 32, max_tokens: int = 64, seed: int = 0):
-    """config/encoder/videoclip.yaml factory."""
+                           num_frames: int = 32, max_tokens: int = 64, seed: int = 0,
+                           dtype="float32"):
+    """config/encoder/videoclip.yaml factory. ++encoder.dtype=bfloat16 runs
+    the S3DG feature tower in bf16 (fp32 stays the oracle-parity default)."""
     from fitclip_tpu.models.clip.load import LoadedEncoder
 
     encoder = VideoClipVideoTextEncoder(num_frames=num_frames, max_tokens=max_tokens,
-                                        vocab_path=vocab_path)
+                                        vocab_path=vocab_path, dtype=dtype)
     params = encoder.init_params(jax.random.PRNGKey(seed))
     from fitclip_tpu.convert.torch_state_dict import load_torch_state_dict
 

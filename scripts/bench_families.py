@@ -42,7 +42,7 @@ def _families():
         "frozen_in_time": (lambda: FrozenInTimeVideoTextEncoder(
             num_frames=4, dtype=jnp.bfloat16), 32),
         "mil_nce_s3dg": (lambda: MilNceVideoTextEncoder(dtype=jnp.bfloat16), 16),
-        "videoclip": (lambda: VideoClipVideoTextEncoder(), 8),
+        "videoclip": (lambda: VideoClipVideoTextEncoder(dtype=jnp.bfloat16), 8),
     }
 
 

@@ -107,3 +107,26 @@ def test_mil_nce_encoder_api():
     assert emb_v.shape == (2, 512)
     assert emb_t.shape == (2, 512)
     assert not encoder.preprocess.should_pad_batch
+
+
+def test_bf16_s3dg_close_to_fp32():
+    """++encoder.dtype=bfloat16 (the fast TPU eval configuration) must stay
+    embedding-equivalent to the fp32 parity configuration: same params, both
+    dtypes, cosine > 0.999 on the S3DG video tower."""
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.mil_nce import MilNceTokenizer, MilNceVideoTextEncoder
+
+    tokenizer = MilNceTokenizer({"a": 1, "cat": 2}, max_tokens=5)
+    fp32 = MilNceVideoTextEncoder(tokenizer=tokenizer, vocab_size=50)
+    bf16 = MilNceVideoTextEncoder(tokenizer=tokenizer, vocab_size=50,
+                                  dtype="bfloat16")
+    params = fp32.init_params(jax.random.PRNGKey(0))
+    video = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (2, 16, 64, 64, 3), dtype=np.uint8))
+    a = np.asarray(fp32.encode_video(params, video), np.float32)
+    b = np.asarray(bf16.encode_video(params, video), np.float32)
+    cos = ((a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                              * np.linalg.norm(b, axis=-1))).min()
+    assert cos > 0.999, cos

@@ -113,3 +113,25 @@ def test_videoclip_encoder_api(tmp_path):
     assert emb_v.shape == (1, encoder.config.hidden_size)
     assert emb_t.shape == (1, encoder.config.hidden_size)
     assert not encoder.preprocess.should_pad_batch
+
+
+def test_bf16_s3dg_tower_close_to_fp32():
+    """++encoder.dtype=bfloat16 runs the S3DG feature tower in bf16; the
+    fused video embedding must stay cosine > 0.999 vs the fp32 path."""
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.videoclip import BertConfig, VideoClipVideoTextEncoder
+
+    config = BertConfig.tiny_test(vocab_size=30)
+    fp32 = VideoClipVideoTextEncoder(config, num_frames=16, frames_per_clip=8)
+    bf16 = VideoClipVideoTextEncoder(config, num_frames=16, frames_per_clip=8,
+                                     dtype="bfloat16")
+    params = fp32.init_params(jax.random.PRNGKey(0))
+    video = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (2, 16, 64, 64, 3), dtype=np.uint8))
+    a = np.asarray(fp32.encode_video(params, video), np.float32)
+    b = np.asarray(bf16.encode_video(params, video), np.float32)
+    cos = ((a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                              * np.linalg.norm(b, axis=-1))).min()
+    assert cos > 0.999, cos
