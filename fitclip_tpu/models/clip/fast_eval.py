@@ -27,7 +27,7 @@ PRECISION = jax.lax.Precision.HIGHEST
 LN_EPS = 1e-5
 
 
-def _layer_norm(x, node, out_dtype):
+def _layer_norm(x, node, out_dtype, eps: float = LN_EPS):
     """fp32-stat LayerNorm matching model.LayerNormFp32 (both variants keep
     statistics and normalize arithmetic in fp32)."""
     scale = node["ln"]["scale"].astype(jnp.float32)
@@ -36,12 +36,12 @@ def _layer_norm(x, node, out_dtype):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     centered = x32 - mean
     var = jnp.mean(centered * centered, axis=-1, keepdims=True)
-    y = centered * jax.lax.rsqrt(var + LN_EPS)
+    y = centered * jax.lax.rsqrt(var + eps)
     return (y * scale + bias).astype(out_dtype)
 
 
 def _run_blocks(x, blocks: Dict[str, Any], heads: int, causal: bool,
-                quick_gelu: bool, block_rows: int):
+                quick_gelu: bool, block_rows: int, ln_eps: float = LN_EPS):
     # Quantized trees carry kernel_q leaves; float trees carry kernel.
     layer_fn = (fused_int8_layer
                 if "kernel_q" in blocks["attn"]["in_proj"] else fused_bf16_layer)
@@ -49,7 +49,7 @@ def _run_blocks(x, blocks: Dict[str, Any], heads: int, causal: bool,
     def body(h, layer):
         return layer_fn(h, layer, heads, causal=causal,
                         quick_gelu=quick_gelu,
-                        block_rows=block_rows), None
+                        block_rows=block_rows, ln_eps=ln_eps), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     return x

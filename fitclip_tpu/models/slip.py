@@ -70,6 +70,7 @@ class TimmViT(nn.Module):
     image_size: int
     dtype: object = jnp.float32
     fused_attention: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -88,7 +89,7 @@ class TimmViT(nn.Module):
         x = Transformer(self.width, self.layers, self.heads, causal=False,
                         quick_gelu=False, dtype=self.dtype,
                         fused_attention=self.fused_attention, ln_eps=1e-6,
-                        name="blocks")(x)
+                        quantized=self.quantized, name="blocks")(x)
         x = LayerNormFp32(self.dtype, 1e-6, name="norm")(x)
         return x[:, 0]
 
@@ -97,16 +98,18 @@ class SlipModel(nn.Module):
     config: SlipConfig
     dtype: object = jnp.float32
     fused_attention: bool = False
+    quantized: bool = False
 
     def setup(self):
         cfg = self.config
         self.visual = TimmViT(cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
                               cfg.patch_size, cfg.image_size, self.dtype,
-                              self.fused_attention)
+                              self.fused_attention, self.quantized)
         self.transformer = Transformer(cfg.text.width, cfg.text.layers,
                                        cfg.text.heads, causal=True,
                                        quick_gelu=True, dtype=self.dtype,
-                                       fused_attention=self.fused_attention)
+                                       fused_attention=self.fused_attention,
+                                       quantized=self.quantized)
         self.ln_final = LayerNormFp32(self.dtype, 1e-5)
         self.token_embedding = self.param("token_embedding",
                                           nn.initializers.normal(0.02),
@@ -213,10 +216,20 @@ class SlipVideoTextEncoder(VideoTextEncoder):
 
     def __init__(self, config: Optional[SlipConfig] = None, num_frames: int = 4,
                  dtype=jnp.float32, fused_attention: bool = False,
+                 quantized: bool = False, fused_block: Optional[bool] = None,
                  tokenizer=None, bpe_path: Optional[str] = None) -> None:
         self.config = config or SlipConfig.vit_b16()
+        # quantized = int8 W8A8 block denses (ops/quant.py; params from
+        # quantize_clip_params — it walks the SLIP tree too). As on the CLIP
+        # encoder, quantized + fused attention defaults to the whole-layer
+        # Pallas megakernel (models/slip_fast.py); fused_block=True on a
+        # float encoder opts into the bf16 layer megakernel.
+        self.quantized = quantized
+        self.fused_block = (bool(quantized) and fused_attention
+                            if fused_block is None else fused_block)
         self.model = SlipModel(self.config, dtype=dtype,
-                               fused_attention=fused_attention)
+                               fused_attention=fused_attention,
+                               quantized=quantized)
         self.num_frames = num_frames
         self._tokenizer = tokenizer
         self._bpe_path = bpe_path
@@ -233,24 +246,79 @@ class SlipVideoTextEncoder(VideoTextEncoder):
 
     def init_params(self, rng):
         cfg = self.config
-        return self.model.init(rng, jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
-                               jnp.zeros((1, cfg.text.context_length), jnp.int32))["params"]
+        dummy_image = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        dummy_ids = jnp.zeros((1, cfg.text.context_length), jnp.int32)
+        if self.quantized:
+            # Init a float twin and quantize so random-init tests carry real
+            # (nonzero) weights in the int8 structure.
+            from fitclip_tpu.ops.quant import quantize_clip_params
 
-    def encode_video(self, params, video: jnp.ndarray) -> jnp.ndarray:
+            float_model = SlipModel(self.config, dtype=self.model.dtype)
+            params = float_model.init(rng, dummy_image, dummy_ids)["params"]
+            return quantize_clip_params(params)
+        return self.model.init(rng, dummy_image, dummy_ids)["params"]
+
+    def _prepare_frames(self, video: jnp.ndarray) -> jnp.ndarray:
         if video.dtype == jnp.uint8:
             dtype = self.model.dtype
             mean = jnp.asarray(self.preprocess.mean, dtype) * 255.0
             inv_std = 1.0 / (jnp.asarray(self.preprocess.std, dtype) * 255.0)
             video = (video.astype(dtype) - mean) * inv_std
         b, t = video.shape[0], video.shape[1]
-        frames = video.reshape(b * t, *video.shape[2:])
-        emb = self.model.apply({"params": params}, frames, method=SlipModel.encode_image)
+        return video.reshape(b * t, *video.shape[2:])
+
+    def encode_video(self, params, video: jnp.ndarray) -> jnp.ndarray:
+        b, t = video.shape[0], video.shape[1]
+        frames = self._prepare_frames(video)
+        if self.fused_block:
+            from fitclip_tpu.models.slip_fast import encode_frames_fast
+
+            emb = encode_frames_fast(params, frames, self.config,
+                                     dtype=self.model.dtype)
+        else:
+            emb = self.model.apply({"params": params}, frames,
+                                   method=SlipModel.encode_image)
         emb = l2_normalize(emb)
         return emb.reshape(b, t, -1).mean(axis=1)
 
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
+        if self.fused_block:
+            from fitclip_tpu.models.slip_fast import encode_text_fast
+
+            return l2_normalize(encode_text_fast(params, text, self.config,
+                                                 dtype=self.model.dtype))
         emb = self.model.apply({"params": params}, text, method=SlipModel.encode_text)
         return l2_normalize(emb)
+
+    def collect_act_amax(self, params, video: jnp.ndarray,
+                         text: Optional[jnp.ndarray] = None):
+        """One calibration observation: both towers in DYNAMIC-quant mode,
+        returning the sown activation abs-max tree (same protocol as
+        ClipVideoTextEncoder, consumed by the CLI runners' multi-batch
+        calibration)."""
+        assert self.quantized, "calibration requires a quantized encoder"
+        dynamic_model = SlipModel(self.config, dtype=self.model.dtype,
+                                  fused_attention=self.model.fused_attention,
+                                  quantized="dynamic")
+        frames = self._prepare_frames(video)
+        _, state = dynamic_model.apply({"params": params}, frames,
+                                       method=SlipModel.encode_image,
+                                       mutable=["intermediates"])
+        intermediates = dict(state["intermediates"])
+        if text is not None:
+            _, text_state = dynamic_model.apply({"params": params}, text,
+                                                method=SlipModel.encode_text,
+                                                mutable=["intermediates"])
+            intermediates.update(dict(text_state["intermediates"]))
+        return intermediates
+
+    def calibrate(self, params, video: jnp.ndarray,
+                  text: Optional[jnp.ndarray] = None, margin: float = 1.0):
+        """Single-batch PTQ calibration; returns the calibrated params tree."""
+        from fitclip_tpu.ops.quant import apply_act_scales
+
+        return apply_act_scales(
+            params, self.collect_act_amax(params, video, text), margin=margin)
 
     def get_tokenizer(self):
         if self._tokenizer is None:
@@ -274,11 +342,21 @@ def _raise_train_sampler(*args, **kwargs):
 
 def load_slip_encoder(checkpoint_path: Optional[str] = None,
                       model: str = "SLIP_VITB16", num_frames: int = 4,
-                      dtype: str = "float32", bpe_path: Optional[str] = None,
+                      dtype: str = "float32",
+                      fused_attention: Optional[bool] = None,
+                      fused_block: Optional[bool] = None,
+                      bpe_path: Optional[str] = None,
                       seed: int = 0):
     """config/encoder/slip_* factory. The released checkpoints carry their
-    factory name in args.model (slip_video_text_encoder.py:17-22)."""
+    factory name in args.model (slip_video_text_encoder.py:17-22).
+
+    encoder.dtype=int8 selects the W8A8 inference path (bf16 activations,
+    int8 block denses, whole-layer Pallas megakernels — models/slip_fast.py),
+    same semantics as on the CLIP loader."""
     from fitclip_tpu.models.clip.load import LoadedEncoder, _DTYPES
+
+    if fused_attention is None:
+        fused_attention = jax.default_backend() == "tpu"
 
     state_dict = None
     if checkpoint_path:
@@ -292,10 +370,23 @@ def load_slip_encoder(checkpoint_path: Optional[str] = None,
                       for k, v in raw.items()}
     variant = model.split("_")[-1]
     config = _SLIP_MODEL_CONFIGS[variant]()
+    quantized = str(dtype) == "int8"
+    if not quantized and str(dtype) not in _DTYPES:
+        raise ValueError(f"Unknown encoder dtype {dtype!r} — expected one of "
+                         f"{sorted(_DTYPES)} or 'int8'")
+    compute_dtype = _DTYPES["bfloat16" if quantized else str(dtype)]
     encoder = SlipVideoTextEncoder(config, num_frames=num_frames,
-                                   dtype=_DTYPES[str(dtype)], bpe_path=bpe_path)
+                                   dtype=compute_dtype,
+                                   fused_attention=fused_attention,
+                                   quantized=quantized,
+                                   fused_block=fused_block,
+                                   bpe_path=bpe_path)
     if state_dict is not None:
         params = slip_params_from_torch(state_dict, config)
+        if quantized:
+            from fitclip_tpu.ops.quant import quantize_clip_params
+
+            params = quantize_clip_params(params)
     else:
         params = encoder.init_params(jax.random.PRNGKey(seed))
     return LoadedEncoder(encoder=encoder, params=params)

@@ -40,17 +40,32 @@ LN_EPS = 1e-5
 LOG2E = 1.4426950408889634
 
 
-def _ln(x32, scale_ref, bias_ref):
+def _ln(x32, scale_ref, bias_ref, eps=LN_EPS):
     """fp32 LayerNorm over the last axis; scale/bias are (1, W) refs."""
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     centered = x32 - mean
     var = jnp.mean(centered * centered, axis=-1, keepdims=True)
-    normed = centered * jax.lax.rsqrt(var + LN_EPS)
+    normed = centered * jax.lax.rsqrt(var + eps)
     return normed * scale_ref[...][0] + bias_ref[...][0]
 
 
 def _quant(x32, inv):
     return jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+
+
+def _exact_gelu(x32):
+    """x * Phi(x) with erf from the Abramowitz-Stegun 7.1.26 polynomial
+    (|error| <= 1.5e-7): Mosaic has no erf/erfc lowering, so the exact-GELU
+    towers (SLIP's timm ViT) can't call jax.nn.gelu(approximate=False) in-
+    kernel. exp is the only transcendental; sign handling rides a select."""
+    z = x32 * 0.7071067811865475
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf = jnp.where(z < 0.0, -erf_abs, erf_abs)
+    return x32 * 0.5 * (1.0 + erf)
 
 
 def _int8_dense(x_q, w_ref, scale_ref, bias_ref):
@@ -117,14 +132,14 @@ def _layer_kernel(x_ref, invs_ref,
                   fs2_ref, fb2_ref, kv_ref,
                   wp_ref, ps_ref, pb_ref, y_ref, *,
                   heads: int, causal: bool, quick_gelu: bool,
-                  approx_recip: bool = True):
+                  approx_recip: bool = True, ln_eps: float = LN_EPS):
     x = x_ref[...]
     x32 = x.astype(jnp.float32)
     width = x.shape[-1]
     head_dim = width // heads
 
     # --- attention half ---
-    h1_q = _quant(_ln(x32, ln1_s_ref, ln1_b_ref), invs_ref[0, 0])
+    h1_q = _quant(_ln(x32, ln1_s_ref, ln1_b_ref, ln_eps), invs_ref[0, 0])
     qkv = _int8_dense(h1_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
     # The requant multiplier rides the softmax normalizer (out_mul): the
     # core's output arrives pre-scaled, so quantization is one round/clip.
@@ -134,7 +149,7 @@ def _layer_kernel(x_ref, invs_ref,
     x32 = x32 + _int8_dense(att_q, wo_ref, os_ref, ob_ref)
 
     # --- MLP half ---
-    h2_q = _quant(_ln(x32, ln2_s_ref, ln2_b_ref), invs_ref[0, 2])
+    h2_q = _quant(_ln(x32, ln2_s_ref, ln2_b_ref, ln_eps), invs_ref[0, 2])
     if quick_gelu:
         # Folded fc epilogue (measured 7.45 -> 6.6-6.75 ms/layer at ViT-B/16
         # eval shape, cosine 0.999998 — BASELINE.md round-3): the requant
@@ -156,9 +171,28 @@ def _layer_kernel(x_ref, invs_ref,
              else t / (1.0 + e))
         h_q = jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8)
     else:
-        h = _int8_dense(h2_q, wf_ref, fs_ref, fb_ref)
-        h = jax.nn.gelu(h, approximate=False)
-        h_q = _quant(h, invs_ref[0, 3])
+        # Folded exact-GELU epilogue (same trick as the QuickGELU branch):
+        # the requant multiplier inv_p rides the dequant scale, so
+        # t = gelu-input * inv_p arrives directly from the int32 accumulator
+        # and g = gelu(gelu_input) * inv_p = 0.5*t*(1+erf(z)) with the erf
+        # argument z = gelu_input/sqrt(2) = t * kv (kv = 1/(sqrt(2)*inv_p)
+        # folded outside the kernel). erf via the A&S 7.1.26 polynomial
+        # (|err| <= 1.5e-7 — Mosaic has no erf/erfc lowering); exp2 is the
+        # only transcendental and one round/clip pass finishes the requant.
+        acc = jax.lax.dot_general(
+            h2_q, wf_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        t = acc.astype(jnp.float32) * fs2_ref[...][0] + fb2_ref[...][0]
+        z = t * kv_ref[...][0]
+        az = jnp.abs(z)
+        u = (pl.reciprocal(1.0 + 0.3275911 * az, approx=True) if approx_recip
+             else 1.0 / (1.0 + 0.3275911 * az))
+        poly = u * (0.254829592 + u * (-0.284496736 + u * (
+            1.421413741 + u * (-1.453152027 + u * 1.061405429))))
+        pe = poly * jnp.exp2((-LOG2E) * az * az)
+        erf = jnp.where(z < 0.0, pe - 1.0, 1.0 - pe)
+        g = 0.5 * t * (1.0 + erf)
+        h_q = jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8)
     x32 = x32 + _int8_dense(h_q, wp_ref, ps_ref, pb_ref)
     y_ref[...] = x32.astype(y_ref.dtype)
 
@@ -168,7 +202,8 @@ def _bf16_layer_kernel(x_ref,
                        wo_ref, ob_ref,
                        ln2_s_ref, ln2_b_ref, wf_ref, fb_ref,
                        wp_ref, pb_ref, y_ref, *,
-                       heads: int, causal: bool, quick_gelu: bool):
+                       heads: int, causal: bool, quick_gelu: bool,
+                       ln_eps: float = LN_EPS):
     """Float twin of _layer_kernel: same whole-layer fusion, plain matmuls in
     the compute dtype with fp32 accumulation (weights are pre-cast operands,
     VMEM-resident via constant index maps)."""
@@ -190,17 +225,17 @@ def _bf16_layer_kernel(x_ref,
             precision=precision)
         return acc + b_ref[...][0]
 
-    h1 = _ln(x32, ln1_s_ref, ln1_b_ref)
+    h1 = _ln(x32, ln1_s_ref, ln1_b_ref, ln_eps)
     qkv = dense(h1, wq_ref, qb_ref).astype(x.dtype)
     att = _attention_core(qkv, heads, head_dim ** -0.5, causal, jnp.float32)
     x32 = x32 + dense(att, wo_ref, ob_ref)
 
-    h2 = _ln(x32, ln2_s_ref, ln2_b_ref)
+    h2 = _ln(x32, ln2_s_ref, ln2_b_ref, ln_eps)
     h = dense(h2, wf_ref, fb_ref)
     if quick_gelu:
         h = h * jax.nn.sigmoid(1.702 * h)
     else:
-        h = jax.nn.gelu(h, approximate=False)
+        h = _exact_gelu(h)
     x32 = x32 + dense(h, wp_ref, pb_ref)
     y_ref[...] = x32.astype(y_ref.dtype)
 
@@ -245,7 +280,7 @@ def _launch(kernel, operands, block_rows: int, interpret: bool,
 
 def fused_bf16_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
                      causal: bool = False, quick_gelu: bool = True,
-                     block_rows: int = 1,
+                     block_rows: int = 1, ln_eps: float = LN_EPS,
                      interpret: Optional[bool] = None) -> jnp.ndarray:
     """Float-path whole-layer kernel: x (B, L, W) + one UNstacked float layer
     node (ln_1, attn.in_proj/out_proj, ln_2, mlp_fc, mlp_proj with
@@ -276,7 +311,7 @@ def fused_bf16_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
         w(layer["mlp_proj"]), b(layer["mlp_proj"]),
     ]
     kernel = functools.partial(_bf16_layer_kernel, heads=heads, causal=causal,
-                               quick_gelu=quick_gelu)
+                               quick_gelu=quick_gelu, ln_eps=ln_eps)
     return _launch(kernel, operands, block_rows, interpret)
 
 
@@ -292,7 +327,7 @@ def _dense_operands(node: Dict[str, Any]):
 
 def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
                      causal: bool = False, quick_gelu: bool = True,
-                     block_rows: int = 1,
+                     block_rows: int = 1, ln_eps: float = LN_EPS,
                      interpret: Optional[bool] = None) -> jnp.ndarray:
     """x (B, L, W) bf16 + one layer's param node (UNstacked: ln_1, attn.in_proj,
     attn.out_proj, ln_2, mlp_fc, mlp_proj) -> (B, L, W) bf16.
@@ -309,11 +344,15 @@ def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
     invs = jnp.stack([inv_q, inv_o, inv_f, inv_p]).reshape(1, 4)
 
     # Folded-epilogue operands (see _layer_kernel's MLP half): dequant and
-    # requant collapse into one affine, the QuickGELU exponent constant
-    # arrives as a lane-wide vector (Mosaic can't double-broadcast scalars).
+    # requant collapse into one affine, and the GELU's scale constant arrives
+    # as a lane-wide vector (Mosaic can't double-broadcast scalars). For
+    # QuickGELU kv is the exp2 exponent multiplier; for exact GELU it is the
+    # erf argument scale 1/(sqrt(2)*inv_p).
     fs2 = fs * inv_p
     fb2 = fb * inv_p
-    kv = jnp.full(fs.shape, 1.0, jnp.float32) * (-1.702 * LOG2E / inv_p)
+    kv_const = (-1.702 * LOG2E / inv_p) if quick_gelu \
+        else (0.7071067811865475 / inv_p)
+    kv = jnp.full(fs.shape, 1.0, jnp.float32) * kv_const
 
     def ln_vec(name, leaf):
         return layer[name]["ln"][leaf].astype(jnp.float32).reshape(1, -1)
@@ -327,5 +366,6 @@ def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
         wp, ps, pb,
     ]
     kernel = functools.partial(_layer_kernel, heads=heads, causal=causal,
-                               quick_gelu=quick_gelu, approx_recip=not interpret)
+                               quick_gelu=quick_gelu, approx_recip=not interpret,
+                               ln_eps=ln_eps)
     return _launch(kernel, operands, block_rows, interpret, smem_idx=(1,))

@@ -39,6 +39,12 @@ def _families():
             RESNET_PRESETS["RN50"], num_frames=4, dtype=jnp.bfloat16), 32),
         "slip_vit_b16": (lambda: SlipVideoTextEncoder(
             num_frames=4, dtype=jnp.bfloat16, fused_attention=True), 32),
+        # int8 W8A8 whole-layer megakernel on the SLIP towers (the same
+        # kernel tech as bench.py's CLIP headline, models/slip_fast.py) —
+        # calibrated + cosine-gated against the bf16 path in main().
+        "slip_vit_b16_int8": (lambda: SlipVideoTextEncoder(
+            num_frames=4, dtype=jnp.bfloat16, fused_attention=True,
+            quantized=True), 128),
         "frozen_in_time": (lambda: FrozenInTimeVideoTextEncoder(
             num_frames=4, dtype=jnp.bfloat16), 32),
         "mil_nce_s3dg": (lambda: MilNceVideoTextEncoder(dtype=jnp.bfloat16), 16),
@@ -71,6 +77,36 @@ def main() -> None:
         params = jax.device_put(encoder.init_params(jax.random.PRNGKey(0)))
         video = jnp.asarray(rng.normal(
             size=(batch_clips, frames, size, size, 3)).astype(np.float32))
+
+        if getattr(encoder, "quantized", False):
+            # Calibrate the activation scales on a bench-batch slice plus a
+            # synthetic text batch, then gate int8-vs-bf16 embedding cosine
+            # ON THE REAL LOWERING before timing (same policy as bench.py).
+            ids = rng.integers(1, 49408, size=(8, 77)).astype(np.int32)
+            text = jnp.asarray(ids)
+            params = jax.device_put(
+                encoder.calibrate(jax.device_get(params), video[:8], text))
+            from fitclip_tpu.models.slip import SlipVideoTextEncoder
+
+            float_enc = SlipVideoTextEncoder(
+                num_frames=4, dtype=jnp.bfloat16, fused_attention=True)
+            fparams = jax.device_put(float_enc.init_params(jax.random.PRNGKey(0)))
+            q_emb = np.asarray(jax.jit(encoder.encode_video)(params, video[:4]),
+                               np.float32)
+            f_emb = np.asarray(jax.jit(float_enc.encode_video)(fparams, video[:4]),
+                               np.float32)
+            gate = float(((q_emb * f_emb).sum(-1) /
+                          (np.linalg.norm(q_emb, axis=-1) *
+                           np.linalg.norm(f_emb, axis=-1))).min())
+            assert gate > 0.999, f"slip int8-vs-bf16 mismatch: {gate}"
+            q_txt = np.asarray(jax.jit(encoder.encode_text)(params, text),
+                               np.float32)
+            f_txt = np.asarray(jax.jit(float_enc.encode_text)(fparams, text),
+                               np.float32)
+            gate_t = float(((q_txt * f_txt).sum(-1) /
+                            (np.linalg.norm(q_txt, axis=-1) *
+                             np.linalg.norm(f_txt, axis=-1))).min())
+            assert gate_t > 0.999, f"slip int8-vs-bf16 text mismatch: {gate_t}"
 
         @jax.jit
         def chain(params, video, steps, encoder=encoder):
