@@ -79,14 +79,14 @@ def load_clip_encoder(name: str = "ViT-B/16",
         state_dict = load_torch_state_dict(checkpoint_path, strip_prefix=strip_prefix)
         if "visual.attnpool.q_proj.weight" in state_dict or name in RESNET_PRESETS:
             return _load_resnet_clip(name, state_dict, num_frames=num_frames,
-                                     bpe_path=bpe_path, seed=seed)
+                                     dtype=dtype, bpe_path=bpe_path, seed=seed)
         if detect_schema(state_dict) == "openai":
             config = config_from_openai_state_dict(state_dict)
         else:
             config = PRESETS[name]()
     elif name in RESNET_PRESETS:
         return _load_resnet_clip(name, None, num_frames=num_frames,
-                                 bpe_path=bpe_path, seed=seed)
+                                 dtype=dtype, bpe_path=bpe_path, seed=seed)
     elif name in PRESETS:
         config = PRESETS[name]()
     else:
@@ -118,12 +118,18 @@ def load_clip_encoder(name: str = "ViT-B/16",
     return LoadedEncoder(encoder=encoder, params=params)
 
 
-def _load_resnet_clip(name, state_dict, num_frames: int, bpe_path, seed: int) -> LoadedEncoder:
+def _load_resnet_clip(name, state_dict, num_frames: int, bpe_path, seed: int,
+                      dtype: str = "float32") -> LoadedEncoder:
     from fitclip_tpu.models.clip.resnet_clip import (
         RESNET_PRESETS, ResNetClipVideoTextEncoder, resnet_clip_params_from_torch)
 
     config = RESNET_PRESETS[name]
+    if str(dtype) == "int8":
+        raise ValueError("encoder.dtype=int8 is transformer-only (whole-layer "
+                         "megakernels); CLIP ResNets support float dtypes — "
+                         "use bfloat16 for the throughput configuration.")
     encoder = ResNetClipVideoTextEncoder(config, num_frames=num_frames,
+                                         dtype=_DTYPES[str(dtype)],
                                          bpe_path=bpe_path)
     if state_dict is not None:
         params = resnet_clip_params_from_torch(state_dict, config)

@@ -44,8 +44,12 @@ class BatchNorm(nn.Module):
         mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         var = self.param("running_var", nn.initializers.ones, (self.features,))
         if not self.use_batch_stats:
+            # Affine fold computed in fp32 (params are fp32); the result is
+            # cast back to the stream dtype so a bf16 tower stays bf16 —
+            # XLA keeps the fp32 intermediate inside the fusion, only the
+            # HBM write narrows.
             inv = jax.lax.rsqrt(var + self.eps) * scale
-            return x * inv + (bias - mean * inv)
+            return (x * inv + (bias - mean * inv)).astype(x.dtype)
 
         reduce_axes = tuple(range(x.ndim - 1))
         x32 = x.astype(jnp.float32)
@@ -67,10 +71,13 @@ class BatchNorm(nn.Module):
 BatchNormInference = BatchNorm
 
 
-def _conv(features, kernel, stride=1, name=None, padding=0):
+def _conv(features, kernel, stride=1, name=None, padding=0, dtype=None):
+    # dtype is the COMPUTE dtype (params stay fp32): bf16 runs the conv
+    # native-rate on the MXU where fp32 HIGHEST is multi-pass emulated on
+    # v5e. PRECISION is a no-op for bf16 operands.
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=[(padding, padding)] * 2, use_bias=False,
-                   precision=PRECISION, name=name)
+                   precision=PRECISION, dtype=dtype, name=name)
 
 
 def _avg_pool(x, window):
@@ -81,26 +88,31 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         def bn(features, name):
             return BatchNorm(features, use_batch_stats=self.train, name=name)
 
+        def conv(features, kernel, name, padding=0):
+            return _conv(features, kernel, name=name, padding=padding,
+                         dtype=self.dtype)
+
         identity = x
         out = nn.relu(bn(self.planes, "bn1")(
-            _conv(self.planes, 1, name="conv1")(x)))
+            conv(self.planes, 1, "conv1")(x)))
         out = nn.relu(bn(self.planes, "bn2")(
-            _conv(self.planes, 3, padding=1, name="conv2")(out)))
+            conv(self.planes, 3, "conv2", padding=1)(out)))
         if self.stride > 1:
             out = _avg_pool(out, self.stride)
         out = bn(self.planes * 4, "bn3")(
-            _conv(self.planes * 4, 1, name="conv3")(out))
+            conv(self.planes * 4, 1, "conv3")(out))
         if self.stride > 1 or x.shape[-1] != self.planes * 4:
             if self.stride > 1:
                 identity = _avg_pool(identity, self.stride)
             identity = bn(self.planes * 4, "downsample_bn")(
-                _conv(self.planes * 4, 1, name="downsample_conv")(identity))
+                conv(self.planes * 4, 1, "downsample_conv")(identity))
         return nn.relu(out + identity)
 
 
@@ -109,6 +121,7 @@ class AttentionPool2d(nn.Module):
     num_heads: int
     output_dim: int
     spacial_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -119,11 +132,14 @@ class AttentionPool2d(nn.Module):
         pos = self.param("positional_embedding",
                          nn.initializers.normal(c ** -0.5),
                          (self.spacial_dim ** 2 + 1, c))
-        tokens = tokens + pos[: tokens.shape[1]]
+        tokens = tokens + pos[: tokens.shape[1]].astype(tokens.dtype)
 
-        q = nn.Dense(self.embed_dim, precision=PRECISION, name="q_proj")(tokens[:, :1])
-        k = nn.Dense(self.embed_dim, precision=PRECISION, name="k_proj")(tokens)
-        v = nn.Dense(self.embed_dim, precision=PRECISION, name="v_proj")(tokens)
+        q = nn.Dense(self.embed_dim, precision=PRECISION, dtype=self.dtype,
+                     name="q_proj")(tokens[:, :1])
+        k = nn.Dense(self.embed_dim, precision=PRECISION, dtype=self.dtype,
+                     name="k_proj")(tokens)
+        v = nn.Dense(self.embed_dim, precision=PRECISION, dtype=self.dtype,
+                     name="v_proj")(tokens)
         head_dim = self.embed_dim // self.num_heads
 
         def heads(t):
@@ -135,7 +151,8 @@ class AttentionPool2d(nn.Module):
         weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v, precision=PRECISION)
         out = out.reshape(b, 1, self.embed_dim)[:, 0]
-        return nn.Dense(self.output_dim, precision=PRECISION, name="c_proj")(out)
+        return nn.Dense(self.output_dim, precision=PRECISION, dtype=self.dtype,
+                        name="c_proj")(out)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,36 +167,38 @@ class ModifiedResNetConfig:
 class ModifiedResNet(nn.Module):
     config: ModifiedResNetConfig
     train: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) normalized -> (B, output_dim)."""
         cfg = self.config
         w = cfg.width
-        x = images
+        x = images if self.dtype is None else images.astype(self.dtype)
 
         def bn(features, name):
             return BatchNorm(features, use_batch_stats=self.train, name=name)
 
         x = nn.relu(bn(w // 2, "bn1")(
-            _conv(w // 2, 3, stride=2, padding=1, name="conv1")(x)))
+            _conv(w // 2, 3, stride=2, padding=1, name="conv1",
+                  dtype=self.dtype)(x)))
         x = nn.relu(bn(w // 2, "bn2")(
-            _conv(w // 2, 3, padding=1, name="conv2")(x)))
+            _conv(w // 2, 3, padding=1, name="conv2", dtype=self.dtype)(x)))
         x = nn.relu(bn(w, "bn3")(
-            _conv(w, 3, padding=1, name="conv3")(x)))
+            _conv(w, 3, padding=1, name="conv3", dtype=self.dtype)(x)))
         x = _avg_pool(x, 2)
 
         for stage, (count, planes, stride) in enumerate(zip(
                 cfg.layers, (w, w * 2, w * 4, w * 8), (1, 2, 2, 2)), start=1):
             for block in range(count):
                 x = Bottleneck(planes, stride if block == 0 else 1,
-                               train=self.train,
+                               train=self.train, dtype=self.dtype,
                                name=f"layer{stage}_{block}")(x)
 
         spacial = cfg.input_resolution // 32
         return AttentionPool2d(embed_dim=x.shape[-1], num_heads=cfg.heads,
                                output_dim=cfg.output_dim, spacial_dim=spacial,
-                               name="attnpool")(x)
+                               dtype=self.dtype, name="attnpool")(x)
 
 
 def resnet_params_from_torch(sd, prefix: str = "visual.") -> dict:

@@ -66,12 +66,17 @@ class ResNetCLIPModel(nn.Module):
     train_bn: bool = False
 
     def setup(self):
-        self.visual = ModifiedResNet(self.config.vision, train=self.train_bn)
+        # dtype is the compute dtype for BOTH towers (params stay fp32):
+        # fp32 HIGHEST convs are multi-pass emulated on v5e, so bf16 here is
+        # the throughput configuration (++encoder.dtype=bfloat16); fp32 stays
+        # the oracle-parity default. BN statistics math is fp32 either way.
+        self.visual = ModifiedResNet(self.config.vision, train=self.train_bn,
+                                     dtype=self.dtype)
         self.text = TextTransformer(self.config.text, self.config.embed_dim,
                                     self.config.quick_gelu, self.dtype)
 
     def encode_image(self, images):
-        return self.visual(images.astype(jnp.float32))
+        return self.visual(images.astype(self.dtype))
 
     def encode_text(self, input_ids):
         return self.text(input_ids)

@@ -194,3 +194,43 @@ def test_eval_only_encoder_refuses_training(tmp_path):
     with _pytest.raises(ValueError, match="evaluation-only"):
         run_train(Loaded(), data_module=None, model_cfg={}, trainer_cfg={},
                   optimizer_cfg={})
+
+
+def test_bf16_eval_config_close_to_fp32():
+    """++encoder.dtype=bfloat16 (the fast TPU eval configuration — fp32
+    HIGHEST convs are multi-pass emulated on v5e) must stay numerically close
+    to the fp32 oracle-parity path: same params, both dtypes, cosine > 0.999
+    on video AND text."""
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.clip.model import TextConfig
+    from fitclip_tpu.models.clip.resnet import ModifiedResNetConfig
+    from fitclip_tpu.models.clip.resnet_clip import (
+        ResNetCLIPConfig, ResNetClipVideoTextEncoder)
+
+    config = ResNetCLIPConfig(
+        embed_dim=24,
+        vision=ModifiedResNetConfig((1, 1, 1, 1), width=16, output_dim=24,
+                                    input_resolution=64, heads=4),
+        text=TextConfig(context_length=16, vocab_size=64, width=32, layers=2,
+                        heads=4))
+    fp32 = ResNetClipVideoTextEncoder(config, num_frames=2)
+    bf16 = ResNetClipVideoTextEncoder(config, num_frames=2, dtype=jnp.bfloat16)
+    params = fp32.init_params(jax.random.PRNGKey(0))
+
+    video = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (2, 2, 64, 64, 3), dtype=np.uint8))
+    ids = jnp.asarray(np.random.default_rng(1).integers(
+        1, 64, size=(2, 16)).astype(np.int32))
+
+    def cosine(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        return ((a * b).sum(-1) / (np.linalg.norm(a, axis=-1) *
+                                   np.linalg.norm(b, axis=-1))).min()
+
+    assert cosine(bf16.encode_video(params, video),
+                  fp32.encode_video(params, video)) > 0.999
+    assert cosine(bf16.encode_text(params, ids),
+                  fp32.encode_text(params, ids)) > 0.999
