@@ -57,11 +57,16 @@ class FrozenInTimeVideoTextEncoder(VideoTextEncoder):
     def __init__(self, config: Optional[FrozenInTimeConfig] = None,
                  num_frames: int = 4, max_tokens: int = 77,
                  tokenizer=None, vocab_path: Optional[str] = None,
-                 dtype=jnp.float32) -> None:
+                 dtype=jnp.float32,
+                 fused_attention: Optional[bool] = None) -> None:
         # dtype: fp32 (default) matches the torch oracle to <=1e-4; bf16 is
         # the production TPU eval config (measured 67 -> see BASELINE.md;
         # fp32 HIGHEST matmuls are multi-pass-emulated on v5e). Both towers'
         # LayerNorms and softmaxes stay fp32 regardless.
+        # fused_attention (default: on for the TPU backend, as on the CLIP/
+        # SLIP loaders): the SPACE attention runs through the Pallas fused
+        # kernel with the CLS row folded into each frame group; fused-vs-
+        # einsum equivalence is tested (tests/test_frozen_in_time.py).
         self.config = config or FrozenInTimeConfig()
         cfg = self.config
         if isinstance(dtype, str):
@@ -72,10 +77,14 @@ class FrozenInTimeVideoTextEncoder(VideoTextEncoder):
                                  f"one of {sorted(_DTYPES)}")
             dtype = _DTYPES[dtype]
         self.dtype = dtype
+        if fused_attention is None:
+            fused_attention = jax.default_backend() == "tpu"
+        self.fused_attention = fused_attention
         self.video_model = SpaceTimeTransformer(
             embed_dim=cfg.embed_dim, depth=cfg.depth, num_heads=cfg.num_heads,
             patch_size=cfg.patch_size, img_size=cfg.img_size,
-            num_frames=cfg.num_frames, dtype=self.dtype)
+            num_frames=cfg.num_frames, dtype=self.dtype,
+            fused_attention=fused_attention)
         self.text_model = DistilBertModel(cfg.text, dtype=self.dtype)
         self._tokenizer = tokenizer
         self._vocab_path = vocab_path

@@ -30,79 +30,195 @@ class LayerNormTorch(nn.Module):
         weight = self.param("weight", nn.initializers.ones, (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,))
         xf = x.astype(jnp.float32)
-        normed = (xf - xf.mean(-1, keepdims=True)) * jax.lax.rsqrt(
-            xf.var(-1, keepdims=True) + self.eps)
+        # Two-pass form reusing `centered` (same biased variance as
+        # torch/jnp.var, which recomputes the mean internally — profiled at
+        # an extra full-tensor pass per LN on this 785-token layout).
+        mean = xf.mean(-1, keepdims=True)
+        centered = xf - mean
+        var = (centered * centered).mean(-1, keepdims=True)
+        normed = centered * jax.lax.rsqrt(var + self.eps)
         return (normed * weight + bias).astype(x.dtype)
-
-
-def _grouped_attention(q, k, v):
-    logits = jnp.einsum("bid,bjd->bij", q, k, precision=PRECISION,
-                        preferred_element_type=jnp.float32)
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bij,bjd->bid", weights, v, precision=PRECISION)
 
 
 class VarAttention(nn.Module):
     """Attention over a chosen axis (time or space) with global CLS
-    (video_transformer.py:81-138)."""
+    (video_transformer.py:81-138).
+
+    Layout-free formulation (profiled: the previous head-fold/regroup/
+    ungroup transposes plus the CLS repeat+concat of K/V cost ~64 ms of
+    pure copies/reshapes/slices per 32-clip eval call — a third of the
+    forward). Heads and groups ride dot_general BATCH dims via einsum, so
+    the only data movement is pure reshapes; the CLS key/value joins each
+    group in LOGIT space (one lane-axis concat of the scores) instead of
+    materializing repeated K/V tensors. Same math: softmax over
+    [cls | group] in fp32, weights cast to the compute dtype, per-head
+    outputs accumulated in fp32."""
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    # fused=True runs the SPACE attention through the Pallas fused-attention
+    # kernel (ops/attention.py) with the CLS row folded into each frame group
+    # — (B*F, 1+P, 3D) is exactly the CLIP ViT eval shape the kernel is
+    # gated on, and the (P, 1+P) fp32 logits stay in VMEM instead of ~240 MB
+    # of HBM softmax traffic per eval call. Inference-oriented (FiT is
+    # eval-only here); einsum remains the oracle-parity default.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, mode: str, frames: int, patches: int):
         h = self.num_heads
-        head_dim = self.dim // h
+        d = self.dim // h
+        b, n, _ = x.shape
         qkv = nn.Dense(3 * self.dim, name="qkv", precision=PRECISION,
                        dtype=self.dtype)(x)
+
+        if self.fused and mode == "space":
+            from fitclip_tpu.ops.attention import fused_attention_qkv
+
+            # Per-frame groups with the CLS qkv prepended as row 0: its k/v
+            # give every group the global CLS key/value (the reference's
+            # concat semantics); its q row computes a discarded output.
+            grouped = jnp.concatenate(
+                [jnp.broadcast_to(qkv[:, None, :1], (b, frames, 1, 3 * self.dim)),
+                 qkv[:, 1:].reshape(b, frames, patches, 3 * self.dim)],
+                axis=2).reshape(b * frames, 1 + patches, 3 * self.dim)
+            out = fused_attention_qkv(grouped, h, d ** -0.5)[:, 1:]
+            out = out.reshape(b, frames * patches, self.dim)
+            # CLS attends globally — one query ROW: slice it before any
+            # head reshape/scale so no full-tensor pass is spent on it.
+            cls_q = (qkv[:, 0, : self.dim].reshape(b, h, d) * (d ** -0.5))
+            k = qkv[:, :, self.dim: 2 * self.dim].reshape(b, n, h, d)
+            v = qkv[:, :, 2 * self.dim:].reshape(b, n, h, d)
+            cls_logits = jnp.einsum("bhd,bnhd->bhn", cls_q, k,
+                                    precision=PRECISION,
+                                    preferred_element_type=jnp.float32)
+            cls_w = jax.nn.softmax(cls_logits, axis=-1).astype(v.dtype)
+            cls_out = jnp.einsum("bhn,bnhd->bhd", cls_w, v,
+                                 precision=PRECISION,
+                                 preferred_element_type=jnp.float32)
+            out = jnp.concatenate(
+                [cls_out.reshape(b, 1, self.dim), out], axis=1).astype(x.dtype)
+            return nn.Dense(self.dim, name="proj", precision=PRECISION,
+                            dtype=self.dtype)(out)
+
+        if self.fused and mode == "time":
+            # Per-head lane-slice formulation (the megakernel trick): ONE
+            # relayout of the patch qkv to time-major (B, P, F, 3D), then
+            # each head's q/k/v is a cheap lane slice and every contraction
+            # is a native batched matmul with (B, P) leading — the generic
+            # head-batched einsum version measured ~2.2 ms/block of hidden
+            # XLA transposes because (..., F=4, d=64) trailing dims tile
+            # pathologically. F is tiny so the logits stay small.
+            D = self.dim
+            t = qkv[:, 1:].reshape(b, frames, patches, 3 * D) \
+                          .transpose(0, 2, 1, 3)
+            cls_k = qkv[:, 0, D:2 * D].reshape(b, h, d)
+            cls_v = qkv[:, 0, 2 * D:].reshape(b, h, d)
+            scale = d ** -0.5
+            parts = []
+            for i in range(h):
+                qh = t[..., i * d:(i + 1) * d] * scale
+                kh = t[..., D + i * d: D + (i + 1) * d]
+                vh = t[..., 2 * D + i * d: 2 * D + (i + 1) * d]
+                logits = jnp.einsum("bpfd,bpgd->bpfg", qh, kh,
+                                    precision=PRECISION,
+                                    preferred_element_type=jnp.float32)
+                cls_l = jnp.einsum("bpfd,bd->bpf", qh, cls_k[:, i],
+                                   precision=PRECISION,
+                                   preferred_element_type=jnp.float32)
+                w = jax.nn.softmax(
+                    jnp.concatenate([cls_l[..., None], logits], axis=-1),
+                    axis=-1).astype(qkv.dtype)
+                oh = jnp.einsum("bpfg,bpgd->bpfd", w[..., 1:], vh,
+                                precision=PRECISION,
+                                preferred_element_type=jnp.float32)
+                oh = oh + jnp.einsum("bpf,bd->bpfd", w[..., 0], cls_v[:, i],
+                                     precision=PRECISION,
+                                     preferred_element_type=jnp.float32)
+                parts.append(oh.astype(qkv.dtype))
+            out = jnp.concatenate(parts, axis=-1) \
+                     .transpose(0, 2, 1, 3).reshape(b, frames * patches, D)
+            # CLS attends globally (reuses the same slices as space mode).
+            cls_q = (qkv[:, 0, :D].reshape(b, h, d) * scale)
+            k = qkv[:, :, D:2 * D].reshape(b, n, h, d)
+            v = qkv[:, :, 2 * D:].reshape(b, n, h, d)
+            cls_logits = jnp.einsum("bhd,bnhd->bhn", cls_q, k,
+                                    precision=PRECISION,
+                                    preferred_element_type=jnp.float32)
+            cls_w = jax.nn.softmax(cls_logits, axis=-1).astype(v.dtype)
+            cls_out = jnp.einsum("bhn,bnhd->bhd", cls_w, v,
+                                 precision=PRECISION,
+                                 preferred_element_type=jnp.float32)
+            out = jnp.concatenate(
+                [cls_out.reshape(b, 1, D), out], axis=1).astype(x.dtype)
+            return nn.Dense(self.dim, name="proj", precision=PRECISION,
+                            dtype=self.dtype)(out)
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, h, d) * (d ** -0.5)
+        k = k.reshape(b, n, h, d)
+        v = v.reshape(b, n, h, d)
 
-        def to_heads(t):  # (B, N, D) -> (B*h, N, d)
-            b, n, _ = t.shape
-            return t.reshape(b, n, h, head_dim).transpose(0, 2, 1, 3).reshape(b * h, n, head_dim)
+        # CLS attends to everything: (B, H, N) scores over the full sequence.
+        cls_logits = jnp.einsum("bhd,bnhd->bhn", q[:, 0], k,
+                                precision=PRECISION,
+                                preferred_element_type=jnp.float32)
+        cls_w = jax.nn.softmax(cls_logits, axis=-1).astype(v.dtype)
+        cls_out = jnp.einsum("bhn,bnhd->bhd", cls_w, v, precision=PRECISION,
+                             preferred_element_type=jnp.float32)
 
-        q, k, v = to_heads(q), to_heads(k), to_heads(v)
-        q = q * (head_dim ** -0.5)
+        # Patch tokens grouped (B, F, P, H, d) — reshapes only.
+        q_ = q[:, 1:].reshape(b, frames, patches, h, d)
+        k_ = k[:, 1:].reshape(b, frames, patches, h, d)
+        v_ = v[:, 1:].reshape(b, frames, patches, h, d)
+        cls_k, cls_v = k[:, 0], v[:, 0]
 
-        cls_q, q_ = q[:, :1], q[:, 1:]
-        cls_k, k_ = k[:, :1], k[:, 1:]
-        cls_v, v_ = v[:, :1], v[:, 1:]
+        if mode == "time":  # attend over frames at each spatial location
+            # ONE explicit relayout to time-major (B, P, H, F, d) per
+            # operand; every contraction below is then a native batched
+            # matmul with its batch dims leading (exotic einsum output
+            # orders here measured as several hidden XLA transposes of the
+            # full 38 MB tensors per block).
+            tq = q_.transpose(0, 2, 3, 1, 4)
+            tk = k_.transpose(0, 2, 3, 1, 4)
+            tv = v_.transpose(0, 2, 3, 1, 4)
+            logits = jnp.einsum("bphfd,bphgd->bphfg", tq, tk,
+                                precision=PRECISION,
+                                preferred_element_type=jnp.float32)
+            cls_l = jnp.einsum("bphfd,bhd->bphf", tq, cls_k,
+                               precision=PRECISION,
+                               preferred_element_type=jnp.float32)
+            w = jax.nn.softmax(
+                jnp.concatenate([cls_l[..., None], logits], axis=-1),
+                axis=-1).astype(v.dtype)
+            out = jnp.einsum("bphfg,bphgd->bphfd", w[..., 1:], tv,
+                             precision=PRECISION,
+                             preferred_element_type=jnp.float32)
+            out = out + jnp.einsum("bphf,bhd->bphfd", w[..., 0], cls_v,
+                                   precision=PRECISION,
+                                   preferred_element_type=jnp.float32)
+            out = out.transpose(0, 3, 1, 2, 4)  # back to (B, F, P, H, d)
+        else:  # space: attend over patches within each frame
+            logits = jnp.einsum("bfphd,bfqhd->bfhpq", q_, k_,
+                                precision=PRECISION,
+                                preferred_element_type=jnp.float32)
+            cls_l = jnp.einsum("bfphd,bhd->bfhp", q_, cls_k,
+                               precision=PRECISION,
+                               preferred_element_type=jnp.float32)
+            w = jax.nn.softmax(
+                jnp.concatenate([cls_l[..., None], logits], axis=-1),
+                axis=-1).astype(v.dtype)
+            out = jnp.einsum("bfhpq,bfqhd->bfphd", w[..., 1:], v_,
+                             precision=PRECISION,
+                             preferred_element_type=jnp.float32)
+            out = out + jnp.einsum("bfhp,bhd->bfphd", w[..., 0], cls_v,
+                                   precision=PRECISION,
+                                   preferred_element_type=jnp.float32)
 
-        # CLS attends to everything.
-        cls_out = _grouped_attention(cls_q, k, v)
-
-        bh = q_.shape[0]
-        if mode == "time":  # 'b (f n) d -> (b n) f d'
-            def regroup(t):
-                return t.reshape(bh, frames, patches, head_dim).transpose(0, 2, 1, 3) \
-                        .reshape(bh * patches, frames, head_dim)
-
-            def ungroup(t):
-                return t.reshape(bh, patches, frames, head_dim).transpose(0, 2, 1, 3) \
-                        .reshape(bh, frames * patches, head_dim)
-
-            repeats = patches
-        else:  # space: 'b (f n) d -> (b f) n d'
-            def regroup(t):
-                return t.reshape(bh * frames, patches, head_dim)
-
-            def ungroup(t):
-                return t.reshape(bh, frames * patches, head_dim)
-
-            repeats = frames
-
-        q_, k_, v_ = regroup(q_), regroup(k_), regroup(v_)
-        cls_k_rep = jnp.repeat(cls_k, repeats, axis=0)
-        cls_v_rep = jnp.repeat(cls_v, repeats, axis=0)
-        out = _grouped_attention(q_, jnp.concatenate([cls_k_rep, k_], axis=1),
-                                 jnp.concatenate([cls_v_rep, v_], axis=1))
-        out = ungroup(out)
-        out = jnp.concatenate([cls_out, out], axis=1)
-
-        # (B*h, N, d) -> (B, N, D)
-        b = out.shape[0] // h
-        n = out.shape[1]
-        out = out.reshape(b, h, n, head_dim).transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        out = jnp.concatenate(
+            [cls_out.reshape(b, 1, self.dim),
+             out.reshape(b, frames * patches, self.dim)],
+            axis=1).astype(x.dtype)
         return nn.Dense(self.dim, name="proj", precision=PRECISION,
                         dtype=self.dtype)(out)
 
@@ -111,15 +227,16 @@ class SpaceTimeBlock(nn.Module):
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, frames: int, patches: int):
         time_out = VarAttention(self.dim, self.num_heads, dtype=self.dtype,
-                                name="timeattn")(
+                                fused=self.fused_attention, name="timeattn")(
             LayerNormTorch(name="norm3")(x), "time", frames, patches)
         time_residual = x + time_out
         space_out = VarAttention(self.dim, self.num_heads, dtype=self.dtype,
-                                 name="attn")(
+                                 fused=self.fused_attention, name="attn")(
             LayerNormTorch(name="norm1")(time_residual), "space", frames, patches)
         space_residual = x + space_out  # frozen-in-time: residual from the input
         h = LayerNormTorch(name="norm2")(space_residual)
@@ -145,6 +262,7 @@ class SpaceTimeTransformer(nn.Module):
     # bf16 is the production TPU eval configuration (fp32 HIGHEST matmuls are
     # ~6x emulated-pass cost on v5e). LayerNorms/softmax stay fp32 either way.
     dtype: jnp.dtype = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
@@ -176,6 +294,7 @@ class SpaceTimeTransformer(nn.Module):
 
         for i in range(self.depth):
             x = SpaceTimeBlock(self.embed_dim, self.num_heads, dtype=self.dtype,
+                               fused_attention=self.fused_attention,
                                name=f"blocks_{i}")(
                 x, frames=f, patches=patches_per_frame)
         x = LayerNormTorch(name="norm")(x)

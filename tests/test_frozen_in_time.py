@@ -216,3 +216,27 @@ def test_bf16_eval_config_close_to_fp32():
                   fp32.encode_video(params, video)) > 0.999
     assert cosine(bf16.encode_text(params, ids),
                   fp32.encode_text(params, ids)) > 0.999
+
+
+def test_fused_space_attention_matches_einsum():
+    """fused_attention=True (the TPU default: space attention through the
+    Pallas kernel with the CLS row folded into each frame group) must match
+    the einsum oracle-parity path on the same params."""
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.frozen_in_time.encoder import (
+        FrozenInTimeConfig, FrozenInTimeVideoTextEncoder)
+
+    config = FrozenInTimeConfig.tiny_test()
+    einsum_enc = FrozenInTimeVideoTextEncoder(config, num_frames=2,
+                                              fused_attention=False)
+    fused_enc = FrozenInTimeVideoTextEncoder(config, num_frames=2,
+                                             fused_attention=True)
+    params = einsum_enc.init_params(jax.random.PRNGKey(0))
+    video = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 2, 32, 32, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fused_enc.encode_video(params, video), np.float32),
+        np.asarray(einsum_enc.encode_video(params, video), np.float32),
+        atol=2e-5, rtol=2e-5)
