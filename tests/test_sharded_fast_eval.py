@@ -75,3 +75,35 @@ def test_plain_jit_would_gather(fused_encoder):
     f = jax.jit(lambda p, v: encoder.encode_video(p, v))
     hlo = f.lower(p_rep, video).compile().as_text()
     assert "all-gather" in hlo
+
+
+def test_shard_mapped_slip_int8_matches():
+    """The SLIP int8 megakernel path (models/slip_fast.py) rides the same
+    generic _shard_mapped dispatch (duck-typed on encoder.fused_block):
+    sharded == single-device numerics on the 8-device mesh."""
+    from fitclip_tpu.cli.runners import _shard_mapped
+    from fitclip_tpu.models.slip import SlipConfig, SlipVideoTextEncoder
+
+    encoder = SlipVideoTextEncoder(SlipConfig.tiny_test(), num_frames=2,
+                                   quantized=True, fused_attention=True)
+    assert encoder.fused_block
+    params = encoder.init_params(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(size=(16, 2, 32, 32, 3)).astype(np.float32))
+    text = jnp.asarray(rng.integers(1, 60, size=(16, 16)).astype(np.int32))
+
+    def step(params, video, text):
+        return (encoder.encode_video(params, video).astype(jnp.float32),
+                encoder.encode_text(params, text).astype(jnp.float32))
+
+    sharded_step = jax.jit(_shard_mapped(step, encoder, mesh, 2))
+    v_out, t_out = sharded_step(jax.device_put(params, replicated(mesh)),
+                                jax.device_put(video, sharded_along(mesh)),
+                                jax.device_put(text, sharded_along(mesh)))
+    v_ref, t_ref = step(params, video, text)
+    np.testing.assert_allclose(np.asarray(v_out), np.asarray(v_ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_out), np.asarray(t_ref),
+                               atol=2e-5, rtol=2e-5)
