@@ -228,15 +228,19 @@ def load_frozen_in_time_encoder(checkpoint_path: Optional[str] = None,
                                 num_frames: int = 4, max_tokens: int = 77,
                                 vocab_path: Optional[str] = None,
                                 temporal_inflation: str = "zeros", seed: int = 0,
-                                dtype: str = "float32"):
+                                dtype: str = "float32",
+                                fused_attention: Optional[bool] = None):
     """config/encoder/frozen_in_time* factory. ++encoder.dtype=bfloat16
-    selects the fast TPU eval configuration (see FrozenInTimeVideoTextEncoder)."""
+    selects the fast TPU eval configuration (see FrozenInTimeVideoTextEncoder);
+    ++encoder.fused_attention=false pins the einsum oracle-parity attention
+    (the default is backend-dependent: fused on TPU)."""
     from fitclip_tpu.models.clip.load import LoadedEncoder
 
     config = FrozenInTimeConfig(num_frames=num_frames)
     encoder = FrozenInTimeVideoTextEncoder(config, num_frames=num_frames,
                                            max_tokens=max_tokens,
-                                           vocab_path=vocab_path, dtype=dtype)
+                                           vocab_path=vocab_path, dtype=dtype,
+                                           fused_attention=fused_attention)
     if checkpoint_path:
         from fitclip_tpu.convert.torch_state_dict import load_torch_state_dict
 

@@ -40,6 +40,23 @@ class LayerNormTorch(nn.Module):
         return (normed * weight + bias).astype(x.dtype)
 
 
+def _cls_global_attention(qkv, heads: int, dim: int):
+    """The CLS token's attention over the FULL sequence: one query row,
+    sliced before any head reshape so no full-tensor pass is spent on it.
+    Returns (B, 1, dim) in the compute dtype."""
+    b, n, _ = qkv.shape
+    d = dim // heads
+    cls_q = qkv[:, 0, :dim].reshape(b, heads, d) * (d ** -0.5)
+    k = qkv[:, :, dim:2 * dim].reshape(b, n, heads, d)
+    v = qkv[:, :, 2 * dim:].reshape(b, n, heads, d)
+    logits = jnp.einsum("bhd,bnhd->bhn", cls_q, k, precision=PRECISION,
+                        preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhn,bnhd->bhd", weights, v, precision=PRECISION,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, 1, dim).astype(qkv.dtype)
+
+
 class VarAttention(nn.Module):
     """Attention over a chosen axis (time or space) with global CLS
     (video_transformer.py:81-138).
@@ -84,20 +101,9 @@ class VarAttention(nn.Module):
                 axis=2).reshape(b * frames, 1 + patches, 3 * self.dim)
             out = fused_attention_qkv(grouped, h, d ** -0.5)[:, 1:]
             out = out.reshape(b, frames * patches, self.dim)
-            # CLS attends globally — one query ROW: slice it before any
-            # head reshape/scale so no full-tensor pass is spent on it.
-            cls_q = (qkv[:, 0, : self.dim].reshape(b, h, d) * (d ** -0.5))
-            k = qkv[:, :, self.dim: 2 * self.dim].reshape(b, n, h, d)
-            v = qkv[:, :, 2 * self.dim:].reshape(b, n, h, d)
-            cls_logits = jnp.einsum("bhd,bnhd->bhn", cls_q, k,
-                                    precision=PRECISION,
-                                    preferred_element_type=jnp.float32)
-            cls_w = jax.nn.softmax(cls_logits, axis=-1).astype(v.dtype)
-            cls_out = jnp.einsum("bhn,bnhd->bhd", cls_w, v,
-                                 precision=PRECISION,
-                                 preferred_element_type=jnp.float32)
             out = jnp.concatenate(
-                [cls_out.reshape(b, 1, self.dim), out], axis=1).astype(x.dtype)
+                [_cls_global_attention(qkv, h, self.dim), out],
+                axis=1).astype(x.dtype)
             return nn.Dense(self.dim, name="proj", precision=PRECISION,
                             dtype=self.dtype)(out)
 
@@ -138,19 +144,8 @@ class VarAttention(nn.Module):
                 parts.append(oh.astype(qkv.dtype))
             out = jnp.concatenate(parts, axis=-1) \
                      .transpose(0, 2, 1, 3).reshape(b, frames * patches, D)
-            # CLS attends globally (reuses the same slices as space mode).
-            cls_q = (qkv[:, 0, :D].reshape(b, h, d) * scale)
-            k = qkv[:, :, D:2 * D].reshape(b, n, h, d)
-            v = qkv[:, :, 2 * D:].reshape(b, n, h, d)
-            cls_logits = jnp.einsum("bhd,bnhd->bhn", cls_q, k,
-                                    precision=PRECISION,
-                                    preferred_element_type=jnp.float32)
-            cls_w = jax.nn.softmax(cls_logits, axis=-1).astype(v.dtype)
-            cls_out = jnp.einsum("bhn,bnhd->bhd", cls_w, v,
-                                 precision=PRECISION,
-                                 preferred_element_type=jnp.float32)
             out = jnp.concatenate(
-                [cls_out.reshape(b, 1, D), out], axis=1).astype(x.dtype)
+                [_cls_global_attention(qkv, h, D), out], axis=1).astype(x.dtype)
             return nn.Dense(self.dim, name="proj", precision=PRECISION,
                             dtype=self.dtype)(out)
 
@@ -159,13 +154,7 @@ class VarAttention(nn.Module):
         k = k.reshape(b, n, h, d)
         v = v.reshape(b, n, h, d)
 
-        # CLS attends to everything: (B, H, N) scores over the full sequence.
-        cls_logits = jnp.einsum("bhd,bnhd->bhn", q[:, 0], k,
-                                precision=PRECISION,
-                                preferred_element_type=jnp.float32)
-        cls_w = jax.nn.softmax(cls_logits, axis=-1).astype(v.dtype)
-        cls_out = jnp.einsum("bhn,bnhd->bhd", cls_w, v, precision=PRECISION,
-                             preferred_element_type=jnp.float32)
+        cls_out = _cls_global_attention(qkv, h, self.dim)
 
         # Patch tokens grouped (B, F, P, H, d) — reshapes only.
         q_ = q[:, 1:].reshape(b, frames, patches, h, d)
@@ -216,8 +205,7 @@ class VarAttention(nn.Module):
                                    preferred_element_type=jnp.float32)
 
         out = jnp.concatenate(
-            [cls_out.reshape(b, 1, self.dim),
-             out.reshape(b, frames * patches, self.dim)],
+            [cls_out, out.reshape(b, frames * patches, self.dim)],
             axis=1).astype(x.dtype)
         return nn.Dense(self.dim, name="proj", precision=PRECISION,
                         dtype=self.dtype)(out)

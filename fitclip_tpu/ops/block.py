@@ -128,7 +128,7 @@ def _attention_core(qkv, heads: int, scale: float, causal: bool, out_dtype,
 def _layer_kernel(x_ref, invs_ref,
                   ln1_s_ref, ln1_b_ref, wq_ref, qs_ref, qb_ref,
                   wo_ref, os_ref, ob_ref,
-                  ln2_s_ref, ln2_b_ref, wf_ref, fs_ref, fb_ref,
+                  ln2_s_ref, ln2_b_ref, wf_ref,
                   fs2_ref, fb2_ref, kv_ref,
                   wp_ref, ps_ref, pb_ref, y_ref, *,
                   heads: int, causal: bool, quick_gelu: bool,
@@ -361,7 +361,7 @@ def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
         x, invs,
         ln_vec("ln_1", "scale"), ln_vec("ln_1", "bias"), wq, qs, qb,
         wo, osc, ob,
-        ln_vec("ln_2", "scale"), ln_vec("ln_2", "bias"), wf, fs, fb,
+        ln_vec("ln_2", "scale"), ln_vec("ln_2", "bias"), wf,
         fs2, fb2, kv,
         wp, ps, pb,
     ]

@@ -142,35 +142,25 @@ def main() -> None:
                           "upper-bounds the fused step",
             }), flush=True)
             continue
-        if case == "rn50_contrastive":
-            # CLIP RN50 trains with live batch-stats BN (EMA merge through
-            # the step). BENCH_RN_DTYPE=fp32 measures the pre-fix path where
-            # the tower ignored the compute dtype (fp32 emulated convs).
-            from fitclip_tpu.models.clip.resnet_clip import (
-                RESNET_PRESETS, ResNetClipVideoTextEncoder)
+        if case in ("contrastive", "rn50_contrastive"):
+            if case == "rn50_contrastive":
+                # CLIP RN50 trains with live batch-stats BN (EMA merge
+                # through the step). BENCH_RN_DTYPE=fp32 measures the
+                # pre-fix path where the tower ignored the compute dtype
+                # (fp32 emulated convs).
+                from fitclip_tpu.models.clip.resnet_clip import (
+                    RESNET_PRESETS, ResNetClipVideoTextEncoder)
 
-            rn_dtype = (jnp.float32 if os.environ.get("BENCH_RN_DTYPE") == "fp32"
-                        else jnp.bfloat16)
-            rn_encoder = ResNetClipVideoTextEncoder(
-                RESNET_PRESETS["RN50"], num_frames=4, dtype=rn_dtype)
-            rn_params = rn_encoder.init_params(jax.random.PRNGKey(0))
-            state = jax.device_put(init_train_state(rn_params, optimizer))
-            train_step = make_contrastive_train_step(rn_encoder, optimizer)
-            batch = {"video": video_batch(args.batch), "text": text_batch(args.batch)}
-            clips_per_step = args.batch
-
-            @jax.jit
-            def chain(steps, state, batch):
-                def body(i, s):
-                    s, _ = train_step(s, batch)
-                    return s
-                return jax.lax.fori_loop(0, steps, body, state)
-
-            def timed(s, state=state, batch=batch, chain=chain):
-                return chain(jnp.int32(s), state, batch).params["logit_scale"]
-        elif case == "contrastive":
-            state = jax.device_put(init_train_state(params, optimizer))
-            train_step = make_contrastive_train_step(encoder, optimizer)
+                rn_dtype = (jnp.float32
+                            if os.environ.get("BENCH_RN_DTYPE") == "fp32"
+                            else jnp.bfloat16)
+                case_encoder = ResNetClipVideoTextEncoder(
+                    RESNET_PRESETS["RN50"], num_frames=4, dtype=rn_dtype)
+                case_params = case_encoder.init_params(jax.random.PRNGKey(0))
+            else:
+                case_encoder, case_params = encoder, params
+            state = jax.device_put(init_train_state(case_params, optimizer))
+            train_step = make_contrastive_train_step(case_encoder, optimizer)
             batch = {"video": video_batch(args.batch), "text": text_batch(args.batch)}
             clips_per_step = args.batch
 
@@ -184,7 +174,7 @@ def main() -> None:
                     return s
                 return jax.lax.fori_loop(0, steps, body, state)
 
-            def timed(s):
+            def timed(s, state=state, batch=batch, chain=chain):
                 return chain(jnp.int32(s), state, batch).params["logit_scale"]
         else:
             if case == "teacher_student_int8_teacher":

@@ -1,22 +1,20 @@
 #!/usr/bin/env python
 """Device-trace the CLIP RN50 eval forward and aggregate per-op time.
 
-The family bench (scripts/bench_families.py) measures RN50 at ~560 clips/s —
-~16 GFLOP/clip -> ~9 TFLOP/s, under 5% of v5e bf16 peak. This pins WHERE the
-time goes (relayout? BN epilogues? the stem's small-channel convs? attnpool?)
-before any optimization is attempted. Same trace plumbing as profile_eval.py.
+This trace found the round-3 session-2 RN50 dtype bug (the tower ignored
+encoder.dtype and ran fp32 HIGHEST convs — multi-pass emulated on v5e,
+~5% MFU). Kept for regression profiling; trace plumbing in _trace_util.py.
 """
 
-import glob
-import gzip
-import json
 import os
 import sys
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+from _trace_util import print_aggregate, trace_and_aggregate
 
 
 def main() -> None:
@@ -37,33 +35,9 @@ def main() -> None:
     def run(params, video, bump):
         return encoder.encode_video(params, video * (1 + bump * 1e-6))
 
-    np.asarray(run(params, video, jnp.float32(0.0)))
-
-    trace_dir = "/tmp/fitclip_rn50_trace"
-    jax.profiler.start_trace(trace_dir)
-    for i in range(3):
-        out = run(params, video, jnp.float32(i))
-    np.asarray(out)
-    jax.profiler.stop_trace()
-
-    traces = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
-                              recursive=True), key=os.path.getmtime)
-    with gzip.open(traces[-1], "rt") as f:
-        trace = json.load(f)
-    tpu_pids = {e["pid"] for e in trace["traceEvents"]
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "tpu" in str(e.get("args", {}).get("name", "")).lower()} or {3}
-    per_op = defaultdict(float)
-    for e in trace["traceEvents"]:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
-            per_op[e["name"]] += e["dur"] / 1e3
-    total = sum(per_op.values())
-    print(json.dumps({"total_ms_3calls": round(total, 2),
-                      "ms_per_call": round(total / 3, 2),
-                      "clips_per_call": batch}), flush=True)
-    for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:30]:
-        print(json.dumps({"op": name[:110], "ms_per_call": round(ms / 3, 3)}),
-              flush=True)
+    per_op, calls = trace_and_aggregate(
+        lambda i: run(params, video, jnp.float32(i)), "/tmp/fitclip_rn50_trace")
+    print_aggregate(per_op, calls, batch)
 
 
 if __name__ == "__main__":
