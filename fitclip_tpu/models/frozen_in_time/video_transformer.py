@@ -57,6 +57,30 @@ def _cls_global_attention(qkv, heads: int, dim: int):
     return out.reshape(b, 1, dim).astype(qkv.dtype)
 
 
+def _cls_global_attention_split(qkv_cls, qkv_patch, heads: int, dim: int):
+    """_cls_global_attention over a split projection (CLS row and patch rows
+    projected separately): softmax over [cls | patches], same key order as
+    the combined sequence. Returns (B, 1, dim)."""
+    b = qkv_cls.shape[0]
+    d = dim // heads
+    cls_q = qkv_cls[:, 0, :dim].reshape(b, heads, d) * (d ** -0.5)
+    cls_k = qkv_cls[:, 0, dim:2 * dim].reshape(b, heads, d)
+    cls_v = qkv_cls[:, 0, 2 * dim:].reshape(b, heads, d)
+    k = qkv_patch[:, :, dim:2 * dim].reshape(b, -1, heads, d)
+    v = qkv_patch[:, :, 2 * dim:].reshape(b, -1, heads, d)
+    l_cls = jnp.einsum("bhd,bhd->bh", cls_q, cls_k, precision=PRECISION,
+                       preferred_element_type=jnp.float32)[..., None]
+    l_pat = jnp.einsum("bhd,bnhd->bhn", cls_q, k, precision=PRECISION,
+                       preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(jnp.concatenate([l_cls, l_pat], axis=-1),
+                       axis=-1).astype(v.dtype)
+    out = jnp.einsum("bh,bhd->bhd", w[..., 0], cls_v, precision=PRECISION,
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bhn,bnhd->bhd", w[..., 1:], v, precision=PRECISION,
+                           preferred_element_type=jnp.float32)
+    return out.reshape(b, 1, dim).astype(qkv_cls.dtype)
+
+
 class VarAttention(nn.Module):
     """Attention over a chosen axis (time or space) with global CLS
     (video_transformer.py:81-138).
@@ -86,68 +110,49 @@ class VarAttention(nn.Module):
         h = self.num_heads
         d = self.dim // h
         b, n, _ = x.shape
-        qkv = nn.Dense(3 * self.dim, name="qkv", precision=PRECISION,
-                       dtype=self.dtype)(x)
+        qkv_dense = nn.Dense(3 * self.dim, name="qkv", precision=PRECISION,
+                             dtype=self.dtype)
 
-        if self.fused and mode == "space":
-            from fitclip_tpu.ops.attention import fused_attention_qkv
+        if self.fused:
+            from fitclip_tpu.ops.attention import fused_attention_qkv_gkv
 
-            # Per-frame groups with the CLS qkv prepended as row 0: its k/v
-            # give every group the global CLS key/value (the reference's
-            # concat semantics); its q row computes a discarded output.
-            grouped = jnp.concatenate(
-                [jnp.broadcast_to(qkv[:, None, :1], (b, frames, 1, 3 * self.dim)),
-                 qkv[:, 1:].reshape(b, frames, patches, 3 * self.dim)],
-                axis=2).reshape(b * frames, 1 + patches, 3 * self.dim)
-            out = fused_attention_qkv(grouped, h, d ** -0.5)[:, 1:]
-            out = out.reshape(b, frames * patches, self.dim)
-            out = jnp.concatenate(
-                [_cls_global_attention(qkv, h, self.dim), out],
-                axis=1).astype(x.dtype)
-            return nn.Dense(self.dim, name="proj", precision=PRECISION,
-                            dtype=self.dtype)(out)
-
-        if self.fused and mode == "time":
-            # Per-head lane-slice formulation (the megakernel trick): ONE
-            # relayout of the patch qkv to time-major (B, P, F, 3D), then
-            # each head's q/k/v is a cheap lane slice and every contraction
-            # is a native batched matmul with (B, P) leading — the generic
-            # head-batched einsum version measured ~2.2 ms/block of hidden
-            # XLA transposes because (..., F=4, d=64) trailing dims tile
-            # pathologically. F is tiny so the logits stay small.
+            # The qkv projection runs SEPARATELY on the CLS row and the
+            # patch rows (same module → shared params): slicing the patch
+            # block out of a combined (B, N, 3W) projection afterwards
+            # costs a full relayout pass of the 3x-wide tensor (profiled
+            # ~6 ms/call), while x[:, 1:] slices the 1x-wide input once
+            # and the group reshape below becomes a pure view.
+            qkv_cls = qkv_dense(x[:, :1])         # (B, 1, 3D)
+            qkv_patch = qkv_dense(x[:, 1:])       # (B, F·P, 3D)
             D = self.dim
-            t = qkv[:, 1:].reshape(b, frames, patches, 3 * D) \
-                          .transpose(0, 2, 1, 3)
-            cls_k = qkv[:, 0, D:2 * D].reshape(b, h, d)
-            cls_v = qkv[:, 0, 2 * D:].reshape(b, h, d)
-            scale = d ** -0.5
-            parts = []
-            for i in range(h):
-                qh = t[..., i * d:(i + 1) * d] * scale
-                kh = t[..., D + i * d: D + (i + 1) * d]
-                vh = t[..., 2 * D + i * d: 2 * D + (i + 1) * d]
-                logits = jnp.einsum("bpfd,bpgd->bpfg", qh, kh,
-                                    precision=PRECISION,
-                                    preferred_element_type=jnp.float32)
-                cls_l = jnp.einsum("bpfd,bd->bpf", qh, cls_k[:, i],
-                                   precision=PRECISION,
-                                   preferred_element_type=jnp.float32)
-                w = jax.nn.softmax(
-                    jnp.concatenate([cls_l[..., None], logits], axis=-1),
-                    axis=-1).astype(qkv.dtype)
-                oh = jnp.einsum("bpfg,bpgd->bpfd", w[..., 1:], vh,
-                                precision=PRECISION,
-                                preferred_element_type=jnp.float32)
-                oh = oh + jnp.einsum("bpf,bd->bpfd", w[..., 0], cls_v[:, i],
-                                     precision=PRECISION,
-                                     preferred_element_type=jnp.float32)
-                parts.append(oh.astype(qkv.dtype))
-            out = jnp.concatenate(parts, axis=-1) \
-                     .transpose(0, 2, 1, 3).reshape(b, frames * patches, D)
-            out = jnp.concatenate(
-                [_cls_global_attention(qkv, h, D), out], axis=1).astype(x.dtype)
+            if mode == "space":
+                # Per-frame groups + the clip's CLS qkv as the kernel's
+                # GLOBAL key/value row (the reference's concat semantics,
+                # without materializing a (groups, 1+P, 3W) concat in HBM
+                # or slicing the CLS row back off the output).
+                groups = qkv_patch.reshape(b * frames, patches, 3 * D)
+                gkv = jnp.broadcast_to(qkv_cls, (b, frames, 3 * D)) \
+                         .reshape(b * frames, 3 * D)
+                out = fused_attention_qkv_gkv(groups, gkv, h, d ** -0.5)
+                out = out.reshape(b, frames * patches, D)
+            else:
+                # Same global-KV kernel over time-major groups: ONE
+                # relayout to (B·P, F, 3D). This replaced a per-head
+                # lane-slice einsum formulation whose 4-deep matmuls and
+                # fp32 softmax tails measured ~25 ms/call in XLA.
+                t = qkv_patch.reshape(b, frames, patches, 3 * D) \
+                             .transpose(0, 2, 1, 3).reshape(b * patches, frames, 3 * D)
+                gkv = jnp.broadcast_to(qkv_cls, (b, patches, 3 * D)) \
+                         .reshape(b * patches, 3 * D)
+                out = fused_attention_qkv_gkv(t, gkv, h, d ** -0.5)
+                out = out.reshape(b, patches, frames, D) \
+                         .transpose(0, 2, 1, 3).reshape(b, frames * patches, D)
+            cls_out = _cls_global_attention_split(qkv_cls, qkv_patch, h, D)
+            out = jnp.concatenate([cls_out, out], axis=1).astype(x.dtype)
             return nn.Dense(self.dim, name="proj", precision=PRECISION,
                             dtype=self.dtype)(out)
+
+        qkv = qkv_dense(x)
 
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, n, h, d) * (d ** -0.5)

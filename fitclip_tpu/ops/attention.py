@@ -77,6 +77,86 @@ def _packed_kernel(qkv_ref, o_ref, *, heads: int, scale: float, causal: bool):
         axis=2).astype(o_ref.dtype)
 
 
+def _packed_gkv_kernel(qkv_ref, gkv_ref, o_ref, *, heads: int, scale: float):
+    """_packed_kernel plus one GLOBAL key/value row per batch row: gkv_ref is
+    a (BB, 3*H*D) per-row qkv vector (its q third is unused) whose k/v join
+    the attended set as key/value index 0 — softmax runs over [global | seq].
+
+    This serves divided attention with a global CLS token (Frozen-in-Time's
+    VarAttention): the caller passes per-group sequences plus the group's
+    CLS qkv, instead of materializing a (groups, 1+L, 3W) concat in HBM and
+    slicing the CLS row back off the output (~15 ms/call at FiT eval shapes,
+    profiled). The concat onto K^T/V happens on VMEM tiles in-kernel."""
+    block_b, seq, width = o_ref.shape
+    head_dim = width // heads
+    qkv = qkv_ref[...]
+    gkv = gkv_ref[...]
+
+    def heads_along_batch(offset, transpose):
+        parts = [qkv[:, :, offset + h * head_dim:offset + (h + 1) * head_dim]
+                 for h in range(heads)]
+        if transpose:
+            parts = [part.swapaxes(1, 2) for part in parts]
+        return jnp.concatenate(parts, axis=0)
+
+    def g_heads(offset):
+        # (HB, 1, D): gkv arrives (BB, 1, 3W) — already carrying the unit
+        # sequence axis, because Mosaic can't rank-change bf16 vectors
+        # in-kernel (dim-inserting shape casts are 32-bit only) and a 2D
+        # operand block would violate the (8, 128) trailing-dim rule.
+        return jnp.concatenate(
+            [gkv[:, :, offset + h * head_dim:offset + (h + 1) * head_dim]
+             for h in range(heads)], axis=0)
+
+    q = heads_along_batch(0, False) * jnp.asarray(scale, qkv.dtype)
+    k = heads_along_batch(width, False)                               # (HB, L, D)
+    v = heads_along_batch(2 * width, False)                           # (HB, L, D)
+    k_t = jnp.concatenate([g_heads(width), k], axis=1).swapaxes(1, 2)  # (HB, D, 1+L)
+    v = jnp.concatenate([g_heads(2 * width), v], axis=1)              # (HB, 1+L, D)
+    logits = jax.lax.dot_general(
+        q, k_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (HB, L, 1+L)
+    peak = jnp.max(logits, axis=-1, keepdims=True)
+    exps = jnp.exp(logits - peak)
+    denom = jnp.sum(exps, axis=-1, keepdims=True)
+    weights = (exps / denom).astype(v.dtype)
+    out = jax.lax.dot_general(
+        weights, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (HB, L, D)
+    o_ref[...] = jnp.concatenate(
+        [out[h * block_b:(h + 1) * block_b] for h in range(heads)],
+        axis=2).astype(o_ref.dtype)
+
+
+def fused_attention_qkv_gkv(qkv, gkv, heads: int, scale: float,
+                            interpret: Optional[bool] = None):
+    """Attention over (B, L, 3*H*D) sequences where each batch row also
+    attends to ONE global key/value taken from `gkv` (B, 3*H*D). Forward
+    only (inference paths)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq, triple_width = qkv.shape
+    width = triple_width // 3
+    block = _block_rows(batch, seq, heads, width // heads)
+    kernel = functools.partial(_packed_gkv_kernel, heads=heads, scale=scale)
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    gkv = gkv.reshape(batch, 1, triple_width)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec((block, seq, triple_width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+                  pl.BlockSpec((block, 1, triple_width), lambda i: (i, 0, 0),
+                               memory_space=memory_space)],
+        out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, width), qkv.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(qkv, gkv)
+
+
 def _block_rows(batch: int, seq: int, heads: int, head_dim: int,
                 max_vmem_bytes: int = 44 * 2 ** 20) -> int:
     """Largest divisor of `batch` fitting the VMEM budget. Per-batch-row cost
