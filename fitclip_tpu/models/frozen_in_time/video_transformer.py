@@ -136,17 +136,15 @@ class VarAttention(nn.Module):
                 out = fused_attention_qkv_gkv(groups, gkv, h, d ** -0.5)
                 out = out.reshape(b, frames * patches, D)
             else:
-                # Same global-KV kernel over time-major groups: ONE
-                # relayout to (B·P, F, 3D). This replaced a per-head
-                # lane-slice einsum formulation whose 4-deep matmuls and
-                # fp32 softmax tails measured ~25 ms/call in XLA.
-                t = qkv_patch.reshape(b, frames, patches, 3 * D) \
-                             .transpose(0, 2, 1, 3).reshape(b * patches, frames, 3 * D)
-                gkv = jnp.broadcast_to(qkv_cls, (b, patches, 3 * D)) \
-                         .reshape(b * patches, 3 * D)
-                out = fused_attention_qkv_gkv(t, gkv, h, d ** -0.5)
-                out = out.reshape(b, patches, frames, D) \
-                         .transpose(0, 2, 1, 3).reshape(b, frames * patches, D)
+                # Natural-layout time kernel: no time-major relayout at all
+                # — per-(frame, frame) logits are VPU lane-reductions over
+                # row slices inside VMEM (measured 0.93 vs 1.40 ms/layer
+                # for the transpose + grouped-kernel formulation it
+                # replaced, transposes included).
+                from fitclip_tpu.ops.attention import fused_time_attention
+
+                out = fused_time_attention(qkv_patch, qkv_cls[:, 0], h,
+                                           frames, d ** -0.5)
             cls_out = _cls_global_attention_split(qkv_cls, qkv_patch, h, D)
             out = jnp.concatenate([cls_out, out], axis=1).astype(x.dtype)
             return nn.Dense(self.dim, name="proj", precision=PRECISION,

@@ -129,15 +129,18 @@ def _packed_gkv_kernel(qkv_ref, gkv_ref, o_ref, *, heads: int, scale: float):
 
 
 def fused_attention_qkv_gkv(qkv, gkv, heads: int, scale: float,
-                            interpret: Optional[bool] = None):
+                            interpret: Optional[bool] = None,
+                            block: Optional[int] = None):
     """Attention over (B, L, 3*H*D) sequences where each batch row also
     attends to ONE global key/value taken from `gkv` (B, 3*H*D). Forward
-    only (inference paths)."""
+    only (inference paths). `block` overrides the VMEM-budget block-rows
+    heuristic (must divide batch)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     batch, seq, triple_width = qkv.shape
     width = triple_width // 3
-    block = _block_rows(batch, seq, heads, width // heads)
+    if block is None:
+        block = _block_rows(batch, seq, heads, width // heads)
     kernel = functools.partial(_packed_gkv_kernel, heads=heads, scale=scale)
     memory_space = pltpu.ANY if interpret else pltpu.VMEM
     gkv = gkv.reshape(batch, 1, triple_width)
@@ -151,6 +154,102 @@ def fused_attention_qkv_gkv(qkv, gkv, heads: int, scale: float,
         out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
                                memory_space=memory_space),
         out_shape=jax.ShapeDtypeStruct((batch, seq, width), qkv.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(qkv, gkv)
+
+
+def _time_attention_kernel(qkv_ref, gkv_ref, o_ref, *, heads: int,
+                           frames: int, scale: float):
+    """Divided TIME attention in the sequence's NATURAL layout: for each
+    spatial location p, query frame f attends over [global | frames g] at
+    the same p. With tiny F (4 for FiT), the (f, g) logits are cheap VPU
+    lane-reductions over row slices — no time-major transpose, no MXU
+    matmuls on 4-deep contractions, everything VMEM-resident per clip:
+
+        logit[p, f, g] = sum_d q[f*P+p, d] * k[g*P+p, d]
+
+    computed as an elementwise product of two (BB, P, D) row slices reduced
+    over lanes. The F*F+F logits per head stay (BB, P, 1) fp32 vectors; the
+    softmax is an unrolled max/exp/sum chain over F+1 values; AV is F*(F+1)
+    broadcast-FMAs. Replaces: time-major relayout (~8 ms/call at FiT eval
+    shapes) + the generic kernel on (B*P, F, 3W) groups (~12 ms)."""
+    block_b, n, triple_w = qkv_ref.shape
+    width = triple_w // 3
+    head_dim = width // heads
+    patches = n // frames
+    qkv = qkv_ref[...]
+    gkv = gkv_ref[...]  # (BB, 1, 3W)
+
+    frame_outs = [[] for _ in range(frames)]  # [f][head] -> (BB, P, D)
+    for h in range(heads):
+        off_q = h * head_dim
+        off_k = width + h * head_dim
+        off_v = 2 * width + h * head_dim
+
+        def rows(off, f):
+            return qkv[:, f * patches:(f + 1) * patches,
+                       off:off + head_dim]
+
+        g_k = gkv[:, :, off_k:off_k + head_dim]  # (BB, 1, D)
+        g_v = gkv[:, :, off_v:off_v + head_dim]
+        ks = [rows(off_k, g) for g in range(frames)]
+        vs = [rows(off_v, g) for g in range(frames)]
+        for f in range(frames):
+            # f32 promotion happens inside each product (no explicit f32
+            # copies of the bf16 slices — they balloon VMEM liveness under
+            # the fully unrolled head/frame loops).
+            q_f = rows(off_q, f).astype(jnp.float32) * scale
+            logits = [jnp.sum(q_f * g_k, axis=-1, keepdims=True)]
+            logits += [jnp.sum(q_f * ks[g], axis=-1, keepdims=True)
+                       for g in range(frames)]
+            peak = logits[0]
+            for l in logits[1:]:
+                peak = jnp.maximum(peak, l)
+            exps = [jnp.exp(l - peak) for l in logits]
+            denom = exps[0]
+            for e in exps[1:]:
+                denom = denom + e
+            inv = 1.0 / denom
+            acc = (exps[0] * inv) * g_v
+            for g in range(frames):
+                acc = acc + (exps[g + 1] * inv) * vs[g]
+            frame_outs[f].append(acc.astype(o_ref.dtype))
+
+    o_ref[...] = jnp.concatenate(
+        [jnp.concatenate(parts, axis=2) for parts in frame_outs], axis=1)
+
+
+def fused_time_attention(qkv, gkv, heads: int, frames: int, scale: float,
+                         interpret: Optional[bool] = None,
+                         block: Optional[int] = None):
+    """Divided time attention over (B, F*P, 3*H*D) sequences in natural
+    layout, each location also attending to ONE global key/value from
+    `gkv` (B, 3*H*D). Forward only (inference paths)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, n, triple_width = qkv.shape
+    width = triple_width // 3
+    if block is None:
+        # Double-buffered qkv blocks dominate VMEM (2 * block * N * 3W);
+        # block=2 measured safely inside the 100MB scoped budget at FiT
+        # eval shapes (block=8 OOMed at 228MB under unrolled-loop liveness).
+        block = 2 if batch % 2 == 0 else 1
+    kernel = functools.partial(_time_attention_kernel, heads=heads,
+                               frames=frames, scale=scale)
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    gkv = gkv.reshape(batch, 1, triple_width)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=[pl.BlockSpec((block, n, triple_width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+                  pl.BlockSpec((block, 1, triple_width), lambda i: (i, 0, 0),
+                               memory_space=memory_space)],
+        out_specs=pl.BlockSpec((block, n, width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((batch, n, width), qkv.dtype),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
