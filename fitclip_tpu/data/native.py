@@ -22,7 +22,13 @@ _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _load_library() -> ctypes.CDLL:
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        # ImportError so that `pytest.importorskip` and `try: import` gates
+        # treat a missing/unbuildable .so as "module unavailable" rather
+        # than an error (`make -C native` builds it).
+        raise ImportError(f"native decoder library unavailable: {e}") from e
     lib.vd_open.restype = ctypes.c_void_p
     lib.vd_open.argtypes = [ctypes.c_char_p]
     lib.vd_open_scaled.restype = ctypes.c_void_p

@@ -58,33 +58,48 @@ class FrozenInTimeVideoTextEncoder(VideoTextEncoder):
                  num_frames: int = 4, max_tokens: int = 77,
                  tokenizer=None, vocab_path: Optional[str] = None,
                  dtype=jnp.float32,
-                 fused_attention: Optional[bool] = None) -> None:
+                 fused_attention: Optional[bool] = None,
+                 fused_block: Optional[bool] = None) -> None:
         # dtype: fp32 (default) matches the torch oracle to <=1e-4; bf16 is
         # the production TPU eval config (measured 67 -> see BASELINE.md;
-        # fp32 HIGHEST matmuls are multi-pass-emulated on v5e). Both towers'
-        # LayerNorms and softmaxes stay fp32 regardless.
+        # fp32 HIGHEST matmuls are multi-pass-emulated on v5e); "int8" runs
+        # the VIDEO tower's qkv/proj/mlp denses as W8A8 (bf16 activations,
+        # calibrated static activation scales — ops/quant.py, same scheme as
+        # the CLIP/SLIP int8 paths; the DistilBERT text tower stays bf16 —
+        # it is ~5% of the eval FLOPs). Both towers' LayerNorms and softmaxes
+        # stay fp32 regardless.
         # fused_attention (default: on for the TPU backend, as on the CLIP/
         # SLIP loaders): the SPACE attention runs through the Pallas fused
         # kernel with the CLS row folded into each frame group; fused-vs-
         # einsum equivalence is tested (tests/test_frozen_in_time.py).
         self.config = config or FrozenInTimeConfig()
         cfg = self.config
-        if isinstance(dtype, str):
+        self.quantized = str(dtype) == "int8"
+        if self.quantized:
+            dtype = jnp.bfloat16
+        elif isinstance(dtype, str):
             from fitclip_tpu.models.clip.load import _DTYPES
 
             if dtype not in _DTYPES:
                 raise ValueError(f"Unknown encoder dtype {dtype!r} — expected "
-                                 f"one of {sorted(_DTYPES)}")
+                                 f"one of {sorted(_DTYPES)} or 'int8'")
             dtype = _DTYPES[dtype]
         self.dtype = dtype
         if fused_attention is None:
             fused_attention = jax.default_backend() == "tpu"
         self.fused_attention = fused_attention
+        # fused_block (as on the CLIP/SLIP encoders): quantized + fused
+        # attention defaults to the whole-SpaceTimeBlock int8 Pallas
+        # megakernel for the video tower (ops/fit_block.py — one kernel per
+        # residual block, weights VMEM-resident, activations leave VMEM once
+        # per layer). fused_block=False pins the separate-op int8 path.
+        self.fused_block = (self.quantized and fused_attention
+                            if fused_block is None else fused_block)
         self.video_model = SpaceTimeTransformer(
             embed_dim=cfg.embed_dim, depth=cfg.depth, num_heads=cfg.num_heads,
             patch_size=cfg.patch_size, img_size=cfg.img_size,
             num_frames=cfg.num_frames, dtype=self.dtype,
-            fused_attention=fused_attention)
+            fused_attention=fused_attention, quantized=self.quantized)
         self.text_model = DistilBertModel(cfg.text, dtype=self.dtype)
         self._tokenizer = tokenizer
         self._vocab_path = vocab_path
@@ -102,8 +117,20 @@ class FrozenInTimeVideoTextEncoder(VideoTextEncoder):
     def init_params(self, rng):
         cfg = self.config
         rng_v, rng_t, rng_p = jax.random.split(rng, 3)
-        video = self.video_model.init(
-            rng_v, jnp.zeros((1, cfg.num_frames, cfg.img_size, cfg.img_size, 3)))["params"]
+        if self.quantized:
+            # Init a float twin and quantize so random-init tests carry real
+            # (nonzero) weights in the int8 structure.
+            float_model = SpaceTimeTransformer(
+                embed_dim=cfg.embed_dim, depth=cfg.depth,
+                num_heads=cfg.num_heads, patch_size=cfg.patch_size,
+                img_size=cfg.img_size, num_frames=cfg.num_frames,
+                dtype=self.dtype)
+            video = quantize_fit_video_params(float_model.init(
+                rng_v, jnp.zeros((1, cfg.num_frames, cfg.img_size,
+                                  cfg.img_size, 3)))["params"])
+        else:
+            video = self.video_model.init(
+                rng_v, jnp.zeros((1, cfg.num_frames, cfg.img_size, cfg.img_size, 3)))["params"]
         text = self.text_model.init(rng_t, jnp.zeros((1, 8), jnp.int32),
                                     jnp.ones((1, 8), jnp.int32))["params"]
         k1, k2 = jax.random.split(rng_p)
@@ -116,12 +143,54 @@ class FrozenInTimeVideoTextEncoder(VideoTextEncoder):
                          "bias": jnp.zeros((cfg.projection_dim,))},
         }
 
-    def encode_video(self, params, video: jnp.ndarray) -> jnp.ndarray:
+    def _prepare_video(self, video: jnp.ndarray) -> jnp.ndarray:
         if video.dtype == jnp.uint8:
             mean = jnp.asarray(self.preprocess.mean, jnp.float32) * 255.0
             inv_std = 1.0 / (jnp.asarray(self.preprocess.std, jnp.float32) * 255.0)
             video = (video.astype(jnp.float32) - mean) * inv_std
-        features = self.video_model.apply({"params": params["video"]}, video)
+        return video
+
+    def collect_act_amax(self, params, video: jnp.ndarray, text=None):
+        """One int8-calibration observation: the video tower in DYNAMIC-quant
+        mode (per-row scales), returning the sown activation abs-max tree
+        keyed like the params tree (consumed by the CLI runners' multi-batch
+        calibration + ops.quant.apply_act_scales). The einsum attention path
+        is used so each quantized dense sows exactly once per call; its dense
+        inputs are identical tensors to the fused path's (the fused path only
+        splits the qkv projection over CLS/patch rows), so the scales
+        transfer. The text tower is not quantized — `text` is ignored."""
+        assert self.quantized, "calibration requires a quantized encoder"
+        cfg = self.config
+        dynamic_model = SpaceTimeTransformer(
+            embed_dim=cfg.embed_dim, depth=cfg.depth, num_heads=cfg.num_heads,
+            patch_size=cfg.patch_size, img_size=cfg.img_size,
+            num_frames=cfg.num_frames, dtype=self.dtype,
+            fused_attention=False, quantized="dynamic")
+        _, state = dynamic_model.apply({"params": params["video"]},
+                                       self._prepare_video(video),
+                                       mutable=["intermediates"])
+        return {"video": dict(state["intermediates"])}
+
+    def calibrate(self, params, video: jnp.ndarray, text=None,
+                  margin: float = 1.0):
+        """Single-batch PTQ calibration; returns the calibrated params tree."""
+        from fitclip_tpu.ops.quant import apply_act_scales
+
+        return apply_act_scales(
+            params, self.collect_act_amax(params, video, text), margin=margin)
+
+    def encode_video(self, params, video: jnp.ndarray) -> jnp.ndarray:
+        video = self._prepare_video(video)
+        if self.fused_block:
+            from fitclip_tpu.models.frozen_in_time.fit_fast import (
+                encode_video_features_fast)
+
+            features = encode_video_features_fast(params["video"], video,
+                                                  self.config,
+                                                  dtype=self.dtype)
+        else:
+            features = self.video_model.apply({"params": params["video"]},
+                                              video)
         projected = jnp.matmul(features, params["vid_proj"]["kernel"],
                                precision=PRECISION) + params["vid_proj"]["bias"]
         return _eps_normalize(projected)
@@ -149,6 +218,15 @@ class FrozenInTimeVideoTextEncoder(VideoTextEncoder):
         tokenizer = self.get_tokenizer()
         for row in np.asarray(ids):
             yield tokenizer.inner.decode(row)
+
+
+def quantize_fit_video_params(video_params):
+    """Float SpaceTimeTransformer tree -> int8-dense tree (qkv/proj/mlp_fc1/
+    mlp_fc2 nodes become {kernel_q, scale, bias, act_scale}); everything else
+    (patch embed, embeddings, LNs) keeps its float leaves."""
+    from fitclip_tpu.ops.quant import FIT_DENSE_NAMES, quantize_clip_params
+
+    return quantize_clip_params(video_params, names=FIT_DENSE_NAMES)
 
 
 def inflate_temporal_embed(temporal_embed: np.ndarray, target_frames: int,
@@ -229,9 +307,12 @@ def load_frozen_in_time_encoder(checkpoint_path: Optional[str] = None,
                                 vocab_path: Optional[str] = None,
                                 temporal_inflation: str = "zeros", seed: int = 0,
                                 dtype: str = "float32",
-                                fused_attention: Optional[bool] = None):
+                                fused_attention: Optional[bool] = None,
+                                fused_block: Optional[bool] = None):
     """config/encoder/frozen_in_time* factory. ++encoder.dtype=bfloat16
-    selects the fast TPU eval configuration (see FrozenInTimeVideoTextEncoder);
+    selects the fast TPU eval configuration (see FrozenInTimeVideoTextEncoder)
+    and ++encoder.dtype=int8 the W8A8 video-tower path (the CLI runners
+    calibrate activation scales on the first eval batches, cli/runners.py);
     ++encoder.fused_attention=false pins the einsum oracle-parity attention
     (the default is backend-dependent: fused on TPU)."""
     from fitclip_tpu.models.clip.load import LoadedEncoder
@@ -240,7 +321,8 @@ def load_frozen_in_time_encoder(checkpoint_path: Optional[str] = None,
     encoder = FrozenInTimeVideoTextEncoder(config, num_frames=num_frames,
                                            max_tokens=max_tokens,
                                            vocab_path=vocab_path, dtype=dtype,
-                                           fused_attention=fused_attention)
+                                           fused_attention=fused_attention,
+                                           fused_block=fused_block)
     if checkpoint_path:
         from fitclip_tpu.convert.torch_state_dict import load_torch_state_dict
 
@@ -250,6 +332,9 @@ def load_frozen_in_time_encoder(checkpoint_path: Optional[str] = None,
                       for k, v in state_dict.items()}
         params = frozen_in_time_params_from_torch(state_dict, config,
                                                   temporal_inflation)
+        if encoder.quantized:
+            params = dict(params,
+                          video=quantize_fit_video_params(params["video"]))
     else:
         params = encoder.init_params(jax.random.PRNGKey(seed))
     return LoadedEncoder(encoder=encoder, params=params)

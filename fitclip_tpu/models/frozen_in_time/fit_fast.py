@@ -1,0 +1,75 @@
+"""Whole-block megakernel eval forward for Frozen-in-Time's video tower.
+
+Mirrors SpaceTimeTransformer.__call__ (video_transformer.py) with the 12
+SpaceTimeBlocks each running as ONE int8 Pallas megakernel
+(ops/fit_block.py); the prologue (patch embed + cls/pos/temporal embeds) and
+the final LayerNorm stay XLA ops — they are ~5% of the call. Consumes the
+SAME quantized parameter tree as the flax int8 path
+(quantize_fit_video_params), so calibration/persisted scales transfer
+unchanged. Numeric agreement with the flax paths is asserted by
+tests/test_fit_fast.py and the on-TPU int8-vs-bf16 cosine gate in
+scripts/bench_families.py. Inference-only.
+
+Reference being matched: aligner/encoder/video_transformer.py:181-340.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from fitclip_tpu.ops.fit_block import FIT_LN_EPS, fused_fit_int8_layer
+
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _layer_norm(x, node, dtype, eps=FIT_LN_EPS):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    centered = xf - mean
+    var = (centered * centered).mean(-1, keepdims=True)
+    normed = centered * jax.lax.rsqrt(var + eps)
+    return (normed * node["weight"].astype(jnp.float32)
+            + node["bias"].astype(jnp.float32)).astype(dtype)
+
+
+def encode_video_features_fast(video_params, video: jnp.ndarray, config,
+                               dtype=jnp.bfloat16,
+                               block_rows: int = 1) -> jnp.ndarray:
+    """(B, F, H, W, 3) normalized video -> (B, embed_dim) CLS features
+    through the per-block int8 megakernels. `config` is FrozenInTimeConfig
+    (embed_dim/depth/num_heads/patch_size/img_size/num_frames)."""
+    cfg = config
+    v = video_params
+    b, f = video.shape[0], video.shape[1]
+    g, p = cfg.img_size // cfg.patch_size, cfg.patch_size
+    patches = g * g
+    width = cfg.embed_dim
+
+    # Patch embedding as a strided conv (the CLIP/SLIP fast-path trick: XLA
+    # folds the im2col into the MXU op). The (p*p*3, width) dense kernel rows
+    # are ordered (ph, pw, c) — exactly HWIO when reshaped.
+    x = video.astype(dtype).reshape(b * f, cfg.img_size, cfg.img_size, 3)
+    kern = v["patch_embed"]["kernel"].astype(dtype).reshape(p, p, 3, width)
+    x = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(p, p), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=PRECISION)
+    x = x.reshape(b, f * patches, width)
+
+    # cls + tiled positional/temporal embeds (video_transformer.py:271-284):
+    # pos row 0 belongs to cls; patch row r of frame t gets
+    # pos[1 + r] + temporal[t]. Both shifts fold into one (F*P, W) add.
+    pos = v["pos_embed"].astype(jnp.float32)
+    temporal = v["temporal_embed"].astype(jnp.float32)
+    tile_pos = jnp.tile(pos[1:], (cfg.num_frames, 1))
+    tile_temporal = jnp.repeat(temporal, patches, axis=0)
+    patch_shift = (v["patch_embed"]["bias"].astype(jnp.float32)
+                   + tile_pos + tile_temporal)[: f * patches]
+    x = x + patch_shift.astype(dtype)
+    cls_row = (v["cls_token"].astype(jnp.float32) + pos[0])[None, None]
+    x = jnp.concatenate(
+        [jnp.broadcast_to(cls_row.astype(dtype), (b, 1, width)), x], axis=1)
+
+    for i in range(cfg.depth):
+        x = fused_fit_int8_layer(x, v[f"blocks_{i}"], cfg.num_heads,
+                                 frames=f, block_rows=block_rows)
+    x = _layer_norm(x, v["norm"], dtype)
+    return x[:, 0]

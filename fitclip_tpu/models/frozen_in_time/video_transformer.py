@@ -11,7 +11,7 @@ per frame. LN eps 1e-6, qkv bias, exact GELU.
 The parameter tree mirrors torch module names (converter is a rename).
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -104,14 +104,21 @@ class VarAttention(nn.Module):
     # of HBM softmax traffic per eval call. Inference-oriented (FiT is
     # eval-only here); einsum remains the oracle-parity default.
     fused: bool = False
+    # quantized: False (float denses), True (int8 W8A8 with calibrated static
+    # activation scales) or "dynamic" (per-row scales — calibration mode).
+    # Only the qkv/proj/mlp denses quantize; LN/softmax/attention stay
+    # bf16/fp32 (same scheme as the CLIP/SLIP towers, ops/quant.py).
+    quantized: Any = False
 
     @nn.compact
     def __call__(self, x, mode: str, frames: int, patches: int):
+        from fitclip_tpu.models.clip.model import _dense
+
         h = self.num_heads
         d = self.dim // h
         b, n, _ = x.shape
-        qkv_dense = nn.Dense(3 * self.dim, name="qkv", precision=PRECISION,
-                             dtype=self.dtype)
+        qkv_dense = _dense(self.quantized, 3 * self.dim, self.dtype,
+                           name="qkv")
 
         if self.fused:
             from fitclip_tpu.ops.attention import fused_attention_qkv_gkv
@@ -147,8 +154,8 @@ class VarAttention(nn.Module):
                                            frames, d ** -0.5)
             cls_out = _cls_global_attention_split(qkv_cls, qkv_patch, h, D)
             out = jnp.concatenate([cls_out, out], axis=1).astype(x.dtype)
-            return nn.Dense(self.dim, name="proj", precision=PRECISION,
-                            dtype=self.dtype)(out)
+            return _dense(self.quantized, self.dim, self.dtype,
+                          name="proj")(out)
 
         qkv = qkv_dense(x)
 
@@ -210,8 +217,7 @@ class VarAttention(nn.Module):
         out = jnp.concatenate(
             [cls_out, out.reshape(b, frames * patches, self.dim)],
             axis=1).astype(x.dtype)
-        return nn.Dense(self.dim, name="proj", precision=PRECISION,
-                        dtype=self.dtype)(out)
+        return _dense(self.quantized, self.dim, self.dtype, name="proj")(out)
 
 
 class SpaceTimeBlock(nn.Module):
@@ -219,23 +225,26 @@ class SpaceTimeBlock(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     fused_attention: bool = False
+    quantized: Any = False
 
     @nn.compact
     def __call__(self, x, frames: int, patches: int):
+        from fitclip_tpu.models.clip.model import _dense
+
         time_out = VarAttention(self.dim, self.num_heads, dtype=self.dtype,
-                                fused=self.fused_attention, name="timeattn")(
+                                fused=self.fused_attention,
+                                quantized=self.quantized, name="timeattn")(
             LayerNormTorch(name="norm3")(x), "time", frames, patches)
         time_residual = x + time_out
         space_out = VarAttention(self.dim, self.num_heads, dtype=self.dtype,
-                                 fused=self.fused_attention, name="attn")(
+                                 fused=self.fused_attention,
+                                 quantized=self.quantized, name="attn")(
             LayerNormTorch(name="norm1")(time_residual), "space", frames, patches)
         space_residual = x + space_out  # frozen-in-time: residual from the input
         h = LayerNormTorch(name="norm2")(space_residual)
-        h = nn.Dense(4 * self.dim, name="mlp_fc1", precision=PRECISION,
-                     dtype=self.dtype)(h)
+        h = _dense(self.quantized, 4 * self.dim, self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="mlp_fc2", precision=PRECISION,
-                     dtype=self.dtype)(h)
+        h = _dense(self.quantized, self.dim, self.dtype, name="mlp_fc2")(h)
         return space_residual + h
 
 
@@ -254,6 +263,7 @@ class SpaceTimeTransformer(nn.Module):
     # ~6x emulated-pass cost on v5e). LayerNorms/softmax stay fp32 either way.
     dtype: jnp.dtype = jnp.float32
     fused_attention: bool = False
+    quantized: Any = False
 
     @nn.compact
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
@@ -286,6 +296,7 @@ class SpaceTimeTransformer(nn.Module):
         for i in range(self.depth):
             x = SpaceTimeBlock(self.embed_dim, self.num_heads, dtype=self.dtype,
                                fused_attention=self.fused_attention,
+                               quantized=self.quantized,
                                name=f"blocks_{i}")(
                 x, frames=f, patches=patches_per_frame)
         x = LayerNormTorch(name="norm")(x)

@@ -76,9 +76,12 @@ def int8_dense_static(x: jnp.ndarray, kernel_q: jnp.ndarray, scale: jnp.ndarray,
 
 # Dense layers inside each transformer block that carry the FLOPs and get
 # quantized; everything else (patch embed, final projections, embeddings,
-# LN) stays in the compute dtype.
+# LN) stays in the compute dtype. The CLIP/SLIP trees name them
+# in_proj/out_proj/mlp_fc/mlp_proj; Frozen-in-Time's SpaceTimeTransformer
+# uses qkv/proj (under attn/timeattn) and mlp_fc1/mlp_fc2.
 _BLOCK_DENSE_NAMES = ("mlp_fc", "mlp_proj")
 _ATTN_DENSE_NAMES = ("in_proj", "out_proj")
+FIT_DENSE_NAMES = ("qkv", "proj", "mlp_fc1", "mlp_fc2")
 
 
 def _quantize_dense_node(node: Dict[str, Any]) -> Dict[str, Any]:
@@ -91,20 +94,22 @@ def _quantize_dense_node(node: Dict[str, Any]) -> Dict[str, Any]:
             "act_scale": np.ones(act_shape, np.float32)}
 
 
-def quantize_clip_params(params) -> Any:
+def quantize_clip_params(params, names: tuple = None) -> Any:
     """fp32/converted CLIP param tree -> int8-dense tree (the shape the
     quantized CLIPModel expects). Works on the scan-stacked layout: block
     kernels carry a leading `layers` axis, which per-channel quantization
-    preserves."""
+    preserves. `names` overrides the set of dense node names to quantize
+    (e.g. FIT_DENSE_NAMES for the SpaceTimeTransformer tree)."""
     params = jax.tree_util.tree_map(np.asarray, params)
+    if names is None:
+        names = _BLOCK_DENSE_NAMES + _ATTN_DENSE_NAMES
 
     def walk(node):
         if not isinstance(node, dict):
             return node
         out = {}
         for key, value in node.items():
-            if (key in _BLOCK_DENSE_NAMES or key in _ATTN_DENSE_NAMES) and \
-                    isinstance(value, dict) and "kernel" in value:
+            if key in names and isinstance(value, dict) and "kernel" in value:
                 out[key] = _quantize_dense_node(value)
             else:
                 out[key] = walk(value)

@@ -32,23 +32,37 @@ def _families():
     from fitclip_tpu.models.slip import SlipVideoTextEncoder
     from fitclip_tpu.models.videoclip import VideoClipVideoTextEncoder
 
-    # (builder, default batch) — batches sized to each family's eval frame
-    # count so the video tensor + activations stay comfortably inside HBM.
+    # name -> (builder, default batch, float-twin builder for int8 gates,
+    # text vocab size). Batches sized to each family's eval frame count so
+    # the video tensor + activations stay comfortably inside HBM.
     return {
         "clip_rn50": (lambda: ResNetClipVideoTextEncoder(
-            RESNET_PRESETS["RN50"], num_frames=4, dtype=jnp.bfloat16), 32),
+            RESNET_PRESETS["RN50"], num_frames=4, dtype=jnp.bfloat16),
+            32, None, 49408),
         "slip_vit_b16": (lambda: SlipVideoTextEncoder(
-            num_frames=4, dtype=jnp.bfloat16, fused_attention=True), 32),
+            num_frames=4, dtype=jnp.bfloat16, fused_attention=True),
+            32, None, 49408),
         # int8 W8A8 whole-layer megakernel on the SLIP towers (the same
         # kernel tech as bench.py's CLIP headline, models/slip_fast.py) —
         # calibrated + cosine-gated against the bf16 path in main().
         "slip_vit_b16_int8": (lambda: SlipVideoTextEncoder(
             num_frames=4, dtype=jnp.bfloat16, fused_attention=True,
-            quantized=True), 128),
+            quantized=True), 128,
+            lambda: SlipVideoTextEncoder(
+                num_frames=4, dtype=jnp.bfloat16, fused_attention=True), 49408),
         "frozen_in_time": (lambda: FrozenInTimeVideoTextEncoder(
-            num_frames=4, dtype=jnp.bfloat16), 32),
-        "mil_nce_s3dg": (lambda: MilNceVideoTextEncoder(dtype=jnp.bfloat16), 16),
-        "videoclip": (lambda: VideoClipVideoTextEncoder(dtype=jnp.bfloat16), 8),
+            num_frames=4, dtype=jnp.bfloat16), 32, None, 30522),
+        # int8 W8A8 on the SpaceTimeTransformer's qkv/proj/mlp denses (the
+        # DistilBERT text tower stays bf16); calibrated + cosine-gated
+        # against the bf16 path like the other int8 rows.
+        "frozen_in_time_int8": (lambda: FrozenInTimeVideoTextEncoder(
+            num_frames=4, dtype="int8"), 32,
+            lambda: FrozenInTimeVideoTextEncoder(
+                num_frames=4, dtype=jnp.bfloat16), 30522),
+        "mil_nce_s3dg": (lambda: MilNceVideoTextEncoder(dtype=jnp.bfloat16),
+                         16, None, 66250),
+        "videoclip": (lambda: VideoClipVideoTextEncoder(dtype=jnp.bfloat16),
+                      8, None, 30522),
     }
 
 
@@ -66,7 +80,7 @@ def main() -> None:
                      f"choose from {sorted(_families())}")
     rng = np.random.default_rng(0)
 
-    for name, (build, default_batch) in _families().items():
+    for name, (build, default_batch, float_build, vocab) in _families().items():
         if selected and name not in selected:
             continue
         batch_clips = int(os.environ.get("BENCH_CLIPS", default_batch))
@@ -82,31 +96,26 @@ def main() -> None:
             # Calibrate the activation scales on a bench-batch slice plus a
             # synthetic text batch, then gate int8-vs-bf16 embedding cosine
             # ON THE REAL LOWERING before timing (same policy as bench.py).
-            ids = rng.integers(1, 49408, size=(8, 77)).astype(np.int32)
+            # The float twin shares the init PRNG key, so its float weights
+            # are exactly the pre-quantization ones.
+            ids = rng.integers(1, vocab, size=(8, 77)).astype(np.int32)
             text = jnp.asarray(ids)
             params = jax.device_put(
                 encoder.calibrate(jax.device_get(params), video[:8], text))
-            from fitclip_tpu.models.slip import SlipVideoTextEncoder
-
-            float_enc = SlipVideoTextEncoder(
-                num_frames=4, dtype=jnp.bfloat16, fused_attention=True)
+            float_enc = float_build()
             fparams = jax.device_put(float_enc.init_params(jax.random.PRNGKey(0)))
-            q_emb = np.asarray(jax.jit(encoder.encode_video)(params, video[:4]),
-                               np.float32)
-            f_emb = np.asarray(jax.jit(float_enc.encode_video)(fparams, video[:4]),
-                               np.float32)
-            gate = float(((q_emb * f_emb).sum(-1) /
-                          (np.linalg.norm(q_emb, axis=-1) *
-                           np.linalg.norm(f_emb, axis=-1))).min())
-            assert gate > 0.999, f"slip int8-vs-bf16 mismatch: {gate}"
-            q_txt = np.asarray(jax.jit(encoder.encode_text)(params, text),
-                               np.float32)
-            f_txt = np.asarray(jax.jit(float_enc.encode_text)(fparams, text),
-                               np.float32)
-            gate_t = float(((q_txt * f_txt).sum(-1) /
-                            (np.linalg.norm(q_txt, axis=-1) *
-                             np.linalg.norm(f_txt, axis=-1))).min())
-            assert gate_t > 0.999, f"slip int8-vs-bf16 text mismatch: {gate_t}"
+
+            def _cos_gate(a, b):
+                a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+                return float(((a * b).sum(-1) / (np.linalg.norm(a, axis=-1) *
+                                                 np.linalg.norm(b, axis=-1))).min())
+
+            gate = _cos_gate(jax.jit(encoder.encode_video)(params, video[:4]),
+                             jax.jit(float_enc.encode_video)(fparams, video[:4]))
+            assert gate > 0.999, f"{name} int8-vs-bf16 mismatch: {gate}"
+            gate_t = _cos_gate(jax.jit(encoder.encode_text)(params, text),
+                               jax.jit(float_enc.encode_text)(fparams, text))
+            assert gate_t > 0.999, f"{name} int8-vs-bf16 text mismatch: {gate_t}"
 
         @jax.jit
         def chain(params, video, steps, encoder=encoder):

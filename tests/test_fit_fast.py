@@ -1,0 +1,68 @@
+"""Parity tests for the Frozen-in-Time whole-block int8 megakernel
+(ops/fit_block.py + models/frozen_in_time/fit_fast.py) against the flax
+paths on the same quantized parameters (CPU interpret mode; the real-chip
+cosine gate lives in scripts/bench_families.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fitclip_tpu.models.frozen_in_time.encoder import (
+    FrozenInTimeConfig, FrozenInTimeVideoTextEncoder,
+    quantize_fit_video_params)
+from fitclip_tpu.ops.quant import apply_act_scales
+
+
+def _cosine(a, b):
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    return float(((a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                                     * np.linalg.norm(b, axis=-1))).min())
+
+
+def test_fit_megakernel_matches_flax_int8_and_fp32():
+    cfg = FrozenInTimeConfig.tiny_test()
+    fp32 = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                        fused_attention=False)
+    params = fp32.init_params(jax.random.PRNGKey(0))
+    video = jax.random.normal(jax.random.PRNGKey(1),
+                              (2, cfg.num_frames, cfg.img_size,
+                               cfg.img_size, 3))
+
+    # Separate-op int8 path = the numeric oracle for the megakernel (same
+    # quantization scheme, XLA lowering).
+    sep = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                       dtype="int8", fused_attention=False,
+                                       fused_block=False)
+    qparams = dict(params, video=quantize_fit_video_params(params["video"]))
+    qparams = apply_act_scales(qparams, sep.collect_act_amax(qparams, video))
+    emb_sep = sep.encode_video(qparams, video)
+
+    mk = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                      dtype="int8", fused_attention=False,
+                                      fused_block=True)
+    assert mk.fused_block
+    emb_mk = mk.encode_video(qparams, video)
+
+    # Same quantized math modulo bf16 intermediate casts: tight cosine vs
+    # the separate-op int8 path, and quantization-level cosine vs fp32.
+    assert _cosine(emb_mk, emb_sep) > 0.9995
+    assert _cosine(emb_mk, fp32.encode_video(params, video)) > 0.99
+
+
+def test_fit_megakernel_partial_frames():
+    """f < num_frames clips (the flax path slices the tiled embeds) must go
+    through the same prologue slice in the fast path."""
+    cfg = FrozenInTimeConfig.tiny_test()
+    fp32 = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                        fused_attention=False)
+    params = fp32.init_params(jax.random.PRNGKey(0))
+    video = jax.random.normal(jax.random.PRNGKey(2),
+                              (2, 1, cfg.img_size, cfg.img_size, 3))
+
+    mk = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                      dtype="int8", fused_attention=False,
+                                      fused_block=True)
+    qparams = dict(params, video=quantize_fit_video_params(params["video"]))
+    qparams = apply_act_scales(qparams, mk.collect_act_amax(qparams, video))
+    assert _cosine(mk.encode_video(qparams, video),
+                   fp32.encode_video(params, video)) > 0.99

@@ -240,3 +240,51 @@ def test_fused_space_attention_matches_einsum():
         np.asarray(fused_enc.encode_video(params, video), np.float32),
         np.asarray(einsum_enc.encode_video(params, video), np.float32),
         atol=2e-5, rtol=2e-5)
+
+
+def test_int8_eval_config_close_to_fp32():
+    """++encoder.dtype=int8 (W8A8 video-tower denses, ops/quant.py) must stay
+    embedding-equivalent to the fp32 parity configuration after multi-batch
+    calibration: cosine > 0.99 on video, and text numerically equal to the
+    bf16 path (the DistilBERT tower is not quantized). Covers both the
+    einsum and fused-attention lowerings (the fused path splits the qkv
+    projection over CLS/patch rows — same static scales must apply)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.frozen_in_time.encoder import (
+        FrozenInTimeConfig, FrozenInTimeVideoTextEncoder,
+        quantize_fit_video_params)
+    from fitclip_tpu.ops.quant import apply_act_scales, merge_act_amax
+
+    config = FrozenInTimeConfig.tiny_test()
+    fp32 = FrozenInTimeVideoTextEncoder(config, num_frames=2,
+                                        fused_attention=False)
+    params = fp32.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    video_a = jnp.asarray(rng.integers(0, 255, (2, 2, 32, 32, 3), dtype=np.uint8))
+    video_b = jnp.asarray(rng.integers(0, 255, (2, 2, 32, 32, 3), dtype=np.uint8))
+    ids = jnp.asarray(rng.integers(1, 90, (3, 8)).astype(np.int32))
+
+    def cosine(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return float(((a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                                         * np.linalg.norm(b, axis=-1))).min())
+
+    for fused in (False, True):
+        enc = FrozenInTimeVideoTextEncoder(config, num_frames=2, dtype="int8",
+                                           fused_attention=fused)
+        assert enc.quantized
+        qparams = dict(params, video=quantize_fit_video_params(params["video"]))
+        # Running-abs-max calibration over two batches (the runners' policy),
+        # then eval on a batch the scales were NOT solely calibrated on.
+        amax = merge_act_amax(enc.collect_act_amax(qparams, video_a),
+                              enc.collect_act_amax(qparams, video_b))
+        qparams = apply_act_scales(qparams, amax)
+        assert cosine(enc.encode_video(qparams, video_b),
+                      fp32.encode_video(params, video_b)) > 0.99
+        np.testing.assert_allclose(
+            np.asarray(enc.encode_text(qparams, ids), np.float32),
+            np.asarray(FrozenInTimeVideoTextEncoder(
+                config, num_frames=2, dtype="bfloat16").encode_text(params, ids),
+                np.float32), atol=1e-6)
