@@ -65,12 +65,16 @@ def _loaders_with_names(data_module, split: str = "val") -> List:
 
 def _shard_mapped(step, encoder, mesh, num_batch_args: int):
     """Partition an encode step over the data mesh axis explicitly when the
-    encoder runs Pallas megakernels (fused_block): GSPMD cannot partition a
-    pallas_call, so under plain jit it all-gathers the batch and runs the
-    FULL kernel on every device (verified in HLO). shard_map runs the kernel
-    on each device's shard instead. Params replicate; batch args shard on
-    the leading axis (runners pad batches to mesh divisibility)."""
-    if not getattr(encoder, "fused_block", False) or mesh.devices.size == 1:
+    encoder runs Pallas kernels (whole-layer megakernels via fused_block, or
+    flax fused attention): GSPMD cannot partition a pallas_call, so under
+    plain jit it all-gathers the batch and runs the FULL kernel on every
+    device (verified in HLO). shard_map runs the kernel on each device's
+    shard instead. Params replicate; batch args shard on the leading axis
+    (runners pad batches to mesh divisibility); encode steps are
+    per-example, so shard_map is numerics-preserving."""
+    uses_pallas = (getattr(encoder, "fused_block", False)
+                   or getattr(encoder, "fused_attention", False))
+    if not uses_pallas or mesh.devices.size == 1:
         return step
     from jax.sharding import PartitionSpec as P
 

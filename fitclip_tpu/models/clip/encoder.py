@@ -49,6 +49,9 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         # into the bf16 layer megakernel — inference only (no gradient path).
         self.fused_block = (bool(quantized) and fused_attention
                             if fused_block is None else fused_block)
+        # Exposed so the CLI runners shard_map any Pallas-kernel eval path
+        # under multi-chip meshes (GSPMD can't partition pallas_call).
+        self.fused_attention = fused_attention
         self.model = CLIPModel(self.config, dtype=dtype, remat=remat,
                                fused_attention=fused_attention,
                                quantized=quantized)

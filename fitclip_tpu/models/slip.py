@@ -227,6 +227,9 @@ class SlipVideoTextEncoder(VideoTextEncoder):
         self.quantized = quantized
         self.fused_block = (bool(quantized) and fused_attention
                             if fused_block is None else fused_block)
+        # Exposed so the CLI runners shard_map any Pallas-kernel eval path
+        # under multi-chip meshes (GSPMD can't partition pallas_call).
+        self.fused_attention = fused_attention
         self.model = SlipModel(self.config, dtype=dtype,
                                fused_attention=fused_attention,
                                quantized=quantized)

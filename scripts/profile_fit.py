@@ -22,10 +22,16 @@ def main() -> None:
     from fitclip_tpu.models.frozen_in_time.encoder import FrozenInTimeVideoTextEncoder
 
     batch = int(os.environ.get("BENCH_CLIPS", "32"))
-    encoder = FrozenInTimeVideoTextEncoder(num_frames=4, dtype=jnp.bfloat16)
+    # BENCH_DTYPE=int8 traces the whole-block megakernel path (ops/fit_block).
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    encoder = FrozenInTimeVideoTextEncoder(
+        num_frames=4, dtype=jnp.bfloat16 if dtype == "bfloat16" else dtype)
     params = jax.device_put(encoder.init_params(jax.random.PRNGKey(0)))
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.normal(size=(batch, 4, 224, 224, 3)).astype(np.float32))
+    if getattr(encoder, "quantized", False):
+        params = jax.device_put(
+            encoder.calibrate(jax.device_get(params), video[:8]))
 
     @jax.jit
     def run(params, video, bump):

@@ -107,3 +107,73 @@ def test_shard_mapped_slip_int8_matches():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(t_out), np.asarray(t_ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_shard_mapped_fit_int8_matches():
+    """The Frozen-in-Time whole-block megakernel path (fit_fast.py) rides
+    the same _shard_mapped dispatch: sharded == single-device numerics."""
+    from fitclip_tpu.cli.runners import _shard_mapped
+    from fitclip_tpu.models.frozen_in_time.encoder import (
+        FrozenInTimeConfig, FrozenInTimeVideoTextEncoder)
+
+    cfg = FrozenInTimeConfig.tiny_test()
+    encoder = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                           max_tokens=16, dtype="int8",
+                                           fused_attention=False,
+                                           fused_block=True)
+    assert encoder.fused_block
+    params = encoder.init_params(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.normal(
+        size=(16, cfg.num_frames, cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+    text = jnp.asarray(rng.integers(1, 90, size=(16, 12)).astype(np.int32))
+    params = encoder.calibrate(params, video[:4])
+
+    def step(params, video, text):
+        return (encoder.encode_video(params, video).astype(jnp.float32),
+                encoder.encode_text(params, text).astype(jnp.float32))
+
+    sharded_step = jax.jit(_shard_mapped(step, encoder, mesh, 2))
+    v_out, t_out = sharded_step(jax.device_put(params, replicated(mesh)),
+                                jax.device_put(video, sharded_along(mesh)),
+                                jax.device_put(text, sharded_along(mesh)))
+    v_ref, t_ref = step(params, video, text)
+    np.testing.assert_allclose(np.asarray(v_out), np.asarray(v_ref),
+                               atol=2e-5, rtol=2e-5)
+    # The DistilBERT text tower is plain XLA bf16 (not a Pallas kernel):
+    # per-shard batch sizes change the GEMM tiling, so accumulation order
+    # differs at bf16 rounding level — compare at bf16 tolerance.
+    np.testing.assert_allclose(np.asarray(t_out), np.asarray(t_ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_shard_mapped_engages_for_flax_fused_attention():
+    """bf16 + flax fused attention (no megakernel) ALSO runs Pallas — the
+    runners must shard_map it too (encoder.fused_attention duck-typing)."""
+    from fitclip_tpu.cli.runners import _shard_mapped
+
+    encoder = ClipVideoTextEncoder(CLIPConfig.tiny_test(), num_frames=2,
+                                   fused_attention=True)
+    assert not encoder.fused_block and encoder.fused_attention
+    params = encoder.init_params(jax.random.PRNGKey(0))
+    mesh = create_mesh()
+
+    rng = np.random.default_rng(2)
+    video = jnp.asarray(rng.normal(size=(16, 2, 32, 32, 3)).astype(np.float32))
+
+    def step(params, video):
+        return encoder.encode_video(params, video).astype(jnp.float32)
+
+    sharded_step = jax.jit(_shard_mapped(step, encoder, mesh, 1))
+    assert sharded_step is not jax.jit(step)  # the wrapper engaged
+    v_sh = jax.device_put(video, sharded_along(mesh))
+    p_rep = jax.device_put(params, replicated(mesh))
+    hlo = sharded_step.lower(p_rep, v_sh).compile().as_text()
+    gathered_full = [line for line in hlo.splitlines()
+                     if "all-gather" in line and "f32[16," in line]
+    assert not gathered_full, gathered_full[:2]
+    np.testing.assert_allclose(np.asarray(sharded_step(p_rep, v_sh)),
+                               np.asarray(step(params, video)),
+                               atol=2e-5, rtol=2e-5)
