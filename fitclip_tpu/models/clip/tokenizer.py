@@ -176,39 +176,105 @@ class ClipTokenizer:
         return result
 
 
+def _inverted_lex_key(pair: Tuple[str, str]) -> Tuple[int, ...]:
+    """A tuple that orders ASCENDING exactly where `pair` orders DESCENDING
+    lexicographically, so a min-heap pops the count-tie winner that plain
+    ``max(counts.items())`` would pick. Each string becomes its negated code
+    points plus a ``1`` terminator: the terminator (> any negated code point)
+    makes a shorter string sort AFTER its extensions, matching "prefix is
+    smaller" in normal string order, and can't collide with a character, so
+    the concatenated (first, second) keys compare field-by-field."""
+    first, second = pair
+    return (tuple(-ord(c) for c in first) + (1,)
+            + tuple(-ord(c) for c in second) + (1,))
+
+
+def _merge_word(word: Tuple[str, ...], first: str, second: str,
+                fused: str) -> Tuple[str, ...]:
+    out: List[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        if i < n - 1 and word[i] == first and word[i + 1] == second:
+            out.append(fused)
+            i += 2
+        else:
+            out.append(word[i])
+            i += 1
+    return tuple(out)
+
+
 def train_bpe_merges(words: Sequence[str], num_merges: int = 64,
                      min_count: int = 2) -> List[Tuple[str, str]]:
     """The real BPE training loop: repeatedly fuse the most frequent adjacent
-    symbol pair (ties broken deterministically by pair order) until
+    symbol pair (ties broken deterministically by max pair order, exactly as
+    ``max(counts.items(), key=lambda kv: (kv[1], kv[0]))`` would) until
     `num_merges` merges exist or no pair repeats. Words are byte-encoded
-    first, exactly as the tokenizer sees them."""
+    first, exactly as the tokenizer sees them.
+
+    Incremental implementation — unique words with frequencies, a pair →
+    {word id} inverted index, and a lazily-invalidated heap — so vocabularies
+    at the real CLIP release's scale (49,152 merges,
+    /root/reference/aligner/encoder/slip.py:75-86's bpe_simple_vocab_16e6)
+    train in seconds instead of the naive O(merges × corpus) sweep."""
+    import heapq
     from collections import Counter
 
     byte_encoder = bytes_to_unicode()
-    encoded = ["".join(byte_encoder[b] for b in w.encode("utf-8")) for w in words]
-    corpus = [tuple(w[:-1]) + (w[-1] + "</w>",) for w in encoded if w]
+    encoded = ("".join(byte_encoder[b] for b in w.encode("utf-8"))
+               for w in words)
+    word_freq = Counter(tuple(w[:-1]) + (w[-1] + "</w>",)
+                        for w in encoded if w)
+    corpus = list(word_freq.keys())
+    freqs = [word_freq[w] for w in corpus]
+
+    pair_counts: Dict[Tuple[str, str], int] = {}
+    pair_words: Dict[Tuple[str, str], set] = {}
+    for wid, word in enumerate(corpus):
+        f = freqs[wid]
+        for p in zip(word[:-1], word[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(wid)
+
+    heap = [(-c, _inverted_lex_key(p), p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
     merges: List[Tuple[str, str]] = []
-    for _ in range(num_merges):
-        counts = Counter(p for word in corpus for p in zip(word[:-1], word[1:]))
-        if not counts:
-            break
-        (first, second), count = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    while len(merges) < num_merges and heap:
+        neg_count, _, pair = heapq.heappop(heap)
+        count = pair_counts.get(pair, 0)
+        if count != -neg_count:
+            # Stale entry — every count change already pushed a fresh one.
+            continue
         if count < min_count:
             break
-        merges.append((first, second))
-        new_corpus = []
-        for word in corpus:
-            out: List[str] = []
-            i = 0
-            while i < len(word):
-                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
-                    out.append(first + second)
-                    i += 2
-                else:
-                    out.append(word[i])
-                    i += 1
-            new_corpus.append(tuple(out))
-        corpus = new_corpus
+        first, second = pair
+        fused = first + second
+        merges.append(pair)
+
+        touched: set = set()
+        for wid in list(pair_words.get(pair, ())):
+            word = corpus[wid]
+            new_word = _merge_word(word, first, second, fused)
+            f = freqs[wid]
+            old_pairs = Counter(zip(word[:-1], word[1:]))
+            new_pairs = Counter(zip(new_word[:-1], new_word[1:]))
+            for p in old_pairs.keys() | new_pairs.keys():
+                delta = new_pairs.get(p, 0) - old_pairs.get(p, 0)
+                if delta:
+                    pair_counts[p] = pair_counts.get(p, 0) + f * delta
+                    touched.add(p)
+                    if pair_counts[p] <= 0:
+                        del pair_counts[p]
+                if new_pairs.get(p, 0) and not old_pairs.get(p, 0):
+                    pair_words.setdefault(p, set()).add(wid)
+                elif old_pairs.get(p, 0) and not new_pairs.get(p, 0):
+                    pair_words[p].discard(wid)
+            corpus[wid] = new_word
+        pair_words.pop(pair, None)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, _inverted_lex_key(p), p))
     return merges
 
 
