@@ -16,7 +16,8 @@ Reference being matched: aligner/encoder/video_transformer.py:181-340.
 import jax
 import jax.numpy as jnp
 
-from fitclip_tpu.ops.fit_block import FIT_LN_EPS, fused_fit_int8_layer
+from fitclip_tpu.ops.fit_block import (FIT_LN_EPS, fused_fit_int8_layer,
+                                       fused_fit_int8_layer_split)
 
 PRECISION = jax.lax.Precision.HIGHEST
 
@@ -33,10 +34,20 @@ def _layer_norm(x, node, dtype, eps=FIT_LN_EPS):
 
 def encode_video_features_fast(video_params, video: jnp.ndarray, config,
                                dtype=jnp.bfloat16,
-                               block_rows: int = 1) -> jnp.ndarray:
+                               block_rows: int = 1,
+                               split: bool = False) -> jnp.ndarray:
     """(B, F, H, W, 3) normalized video -> (B, embed_dim) CLS features
     through the per-block int8 megakernels. `config` is FrozenInTimeConfig
-    (embed_dim/depth/num_heads/patch_size/img_size/num_frames)."""
+    (embed_dim/depth/num_heads/patch_size/img_size/num_frames).
+
+    split=False (default) runs the joint (B, 1+F*P, W) kernel. split=True
+    runs the SPLIT-layout ablation — CLS and the (B, F, P, W) patch rows as
+    separate operands so frame access in-kernel is aligned leading-dim
+    indexing. Measured NEGATIVE end-to-end on v5e (447.6 vs 572.2 clips/s,
+    scripts/bench_fit_e2e_ab.py): the per-layer kernels tie (5.96 vs
+    5.88 ms) but the 4-D patch operand costs more in XLA layout/prologue
+    work outside the kernel than the aligned indexing saves inside. Kept
+    as a tested ablation arm."""
     cfg = config
     v = video_params
     b, f = video.shape[0], video.shape[1]
@@ -65,9 +76,18 @@ def encode_video_features_fast(video_params, video: jnp.ndarray, config,
                    + tile_pos + tile_temporal)[: f * patches]
     x = x + patch_shift.astype(dtype)
     cls_row = (v["cls_token"].astype(jnp.float32) + pos[0])[None, None]
-    x = jnp.concatenate(
-        [jnp.broadcast_to(cls_row.astype(dtype), (b, 1, width)), x], axis=1)
+    cls = jnp.broadcast_to(cls_row.astype(dtype), (b, 1, width))
 
+    if split:
+        xp = x.reshape(b, f, patches, width)
+        for i in range(cfg.depth):
+            cls, xp = fused_fit_int8_layer_split(
+                cls, xp, v[f"blocks_{i}"], cfg.num_heads,
+                block_rows=block_rows)
+        # Only the CLS row survives the head: normalize it alone.
+        return _layer_norm(cls, v["norm"], dtype)[:, 0]
+
+    x = jnp.concatenate([cls, x], axis=1)
     for i in range(cfg.depth):
         x = fused_fit_int8_layer(x, v[f"blocks_{i}"], cfg.num_heads,
                                  frames=f, block_rows=block_rows)

@@ -168,6 +168,221 @@ def _time_attention(qkv, heads: int, frames: int, patches: int,
         [jnp.concatenate(parts, axis=2) for parts in frame_outs], axis=1)
 
 
+def _int8_dense_nd(x_q, w_ref, scale_ref, bias_ref):
+    """ops/block.py _int8_dense generalized to any leading shape: contracts
+    the LAST axis of x_q against w (W, M)."""
+    c = x_q.ndim - 1
+    acc = jax.lax.dot_general(
+        x_q, w_ref[...], dimension_numbers=(((c,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * scale_ref[...][0] + bias_ref[...][0]
+
+
+def _cls_global_row_split(qkv_c, qkv_p, heads: int, scale: float, out_mul):
+    """The CLS token's attention over [CLS | all F*P patch rows] in the
+    SPLIT layout: qkv_c (BB, 1, 3W), qkv_p (BB, F, P, 3W). Returns
+    (BB, 1, W) fp32 pre-scaled by out_mul. The (F, P) dims flatten to one
+    N axis up front — Mosaic's matmul only takes single contracting dims,
+    and collapsing the two sublane dims of a contiguous block is free."""
+    bb, frames, n_patch, w3 = qkv_p.shape
+    qkv_flat = qkv_p.reshape(bb, frames * n_patch, w3)
+    width = w3 // 3
+    head_dim = width // heads
+    scale_q = jnp.asarray(scale, qkv_c.dtype)
+
+    parts = []
+    for h in range(heads):
+        off_q, off_k, off_v = (h * head_dim, width + h * head_dim,
+                               2 * width + h * head_dim)
+        cq = qkv_c[:, :, off_q:off_q + head_dim] * scale_q     # (BB, 1, D)
+        kc = qkv_c[:, :, off_k:off_k + head_dim]
+        vc = qkv_c[:, :, off_v:off_v + head_dim].astype(jnp.float32)
+        kp = qkv_flat[:, :, off_k:off_k + head_dim]            # (BB, N, D)
+        vp = qkv_flat[:, :, off_v:off_v + head_dim]
+        self_l = jnp.sum(cq.astype(jnp.float32)
+                         * kc.astype(jnp.float32), -1, keepdims=True)
+        logits = jax.lax.dot_general(
+            cq, kp, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # (BB, 1, N)
+        peak = jnp.maximum(jnp.max(logits, -1, keepdims=True), self_l)
+        exps = jnp.exp(logits - peak)
+        self_e = jnp.exp(self_l - peak)                        # (BB, 1, 1)
+        denom = jnp.sum(exps, -1, keepdims=True) + self_e
+        weights = (exps * (out_mul / denom)).astype(vp.dtype)
+        out = jax.lax.dot_general(
+            weights, vp, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                # (BB, 1, D)
+        out = out + (self_e * (out_mul / denom)) * vc
+        parts.append(out)
+    return jnp.concatenate(parts, axis=2)
+
+
+def _space_attention_split(qkv_c, qkv_p, heads: int, scale: float, out_mul):
+    """Divided SPACE attention in the SPLIT layout: per frame the patch rows
+    attend within the frame plus the clip's global CLS key/value. Frame
+    access is leading-dim indexing of qkv_p (BB, F, P, 3W) — no unaligned
+    row slices. Returns (BB, F, P, W) fp32 pre-scaled by out_mul."""
+    frames = qkv_p.shape[1]
+    width = qkv_c.shape[-1] // 3
+    head_dim = width // heads
+    scale_q = jnp.asarray(scale, qkv_p.dtype)
+
+    frame_parts = []
+    for f in range(frames):
+        head_parts = []
+        for h in range(heads):
+            off_q, off_k, off_v = (h * head_dim, width + h * head_dim,
+                                   2 * width + h * head_dim)
+            q = qkv_p[:, f, :, off_q:off_q + head_dim] * scale_q
+            k = qkv_p[:, f, :, off_k:off_k + head_dim]
+            v = qkv_p[:, f, :, off_v:off_v + head_dim]
+            g_k = qkv_c[:, :, off_k:off_k + head_dim]          # (BB, 1, D)
+            g_v = qkv_c[:, :, off_v:off_v + head_dim]
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # (BB, P, P)
+            cls_l = jax.lax.dot_general(
+                q, g_k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # (BB, P, 1)
+            peak = jnp.maximum(jnp.max(logits, -1, keepdims=True), cls_l)
+            exps = jnp.exp(logits - peak)
+            cls_e = jnp.exp(cls_l - peak)
+            denom = jnp.sum(exps, -1, keepdims=True) + cls_e
+            inv = out_mul / denom
+            out = jax.lax.dot_general(
+                (exps * inv).astype(v.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)            # (BB, P, D)
+            out = out + (cls_e * inv) * g_v.astype(jnp.float32)
+            head_parts.append(out)
+        frame_parts.append(jnp.concatenate(head_parts, axis=2)[:, None])
+    return jnp.concatenate(frame_parts, axis=1)
+
+
+def _time_attention_split(qkv_c, qkv_p, heads: int, scale: float, out_mul):
+    """Divided TIME attention in the SPLIT layout (same unrolled
+    max/exp/sum softmax over F+1 values as _time_attention); frame rows are
+    leading-dim indexed. Returns (BB, F, P, W) fp32 pre-scaled by out_mul."""
+    frames = qkv_p.shape[1]
+    width = qkv_c.shape[-1] // 3
+    head_dim = width // heads
+
+    frame_outs = [[] for _ in range(frames)]  # [f][head] -> (BB, P, D)
+    for h in range(heads):
+        off_q, off_k, off_v = (h * head_dim, width + h * head_dim,
+                               2 * width + h * head_dim)
+        g_k = qkv_c[:, :, off_k:off_k + head_dim]              # (BB, 1, D)
+        g_v = qkv_c[:, :, off_v:off_v + head_dim].astype(jnp.float32)
+        ks = [qkv_p[:, g, :, off_k:off_k + head_dim] for g in range(frames)]
+        vs = [qkv_p[:, g, :, off_v:off_v + head_dim] for g in range(frames)]
+        for f in range(frames):
+            q_f = qkv_p[:, f, :, off_q:off_q + head_dim] \
+                .astype(jnp.float32) * scale
+            logits = [jnp.sum(q_f * g_k, axis=-1, keepdims=True)]
+            logits += [jnp.sum(q_f * ks[g], axis=-1, keepdims=True)
+                       for g in range(frames)]
+            peak = logits[0]
+            for l in logits[1:]:
+                peak = jnp.maximum(peak, l)
+            exps = [jnp.exp(l - peak) for l in logits]
+            denom = exps[0]
+            for e in exps[1:]:
+                denom = denom + e
+            inv = out_mul / denom
+            acc = (exps[0] * inv) * g_v
+            for g in range(frames):
+                acc = acc + (exps[g + 1] * inv) * vs[g].astype(jnp.float32)
+            frame_outs[f].append(acc)
+    return jnp.concatenate(
+        [jnp.concatenate(parts, axis=2)[:, None] for parts in frame_outs],
+        axis=1)
+
+
+def _erf_gelu_quant(t, kv_row, approx_recip: bool):
+    """Folded exact-GELU epilogue shared by both kernel layouts: t is the
+    already-inv_p-scaled fc1 output, kv_row the folded erf argument scale.
+    Returns the int8-quantized hidden activations."""
+    z = t * kv_row
+    az = jnp.abs(z)
+    u = (pl.reciprocal(1.0 + 0.3275911 * az, approx=True) if approx_recip
+         else 1.0 / (1.0 + 0.3275911 * az))
+    poly = u * (0.254829592 + u * (-0.284496736 + u * (
+        1.421413741 + u * (-1.453152027 + u * 1.061405429))))
+    pe = poly * jnp.exp2((-LOG2E) * az * az)
+    erf = jnp.where(z < 0.0, pe - 1.0, 1.0 - pe)
+    g = 0.5 * t * (1.0 + erf)
+    return jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8)
+
+
+def _fit_layer_split_kernel(cls_ref, xp_ref, invs_ref,
+                            ln3_s_ref, ln3_b_ref, wtq_ref, tqs_ref, tqb_ref,
+                            wtp_ref, tps_ref, tpb_ref,
+                            ln1_s_ref, ln1_b_ref, wsq_ref, sqs_ref, sqb_ref,
+                            wsp_ref, sps_ref, spb_ref,
+                            ln2_s_ref, ln2_b_ref, wf_ref, fs2_ref, fb2_ref,
+                            kv_ref, wp_ref, ps_ref, pb_ref,
+                            yc_ref, yp_ref, *,
+                            heads: int, approx_recip: bool = True,
+                            ln_eps: float = FIT_LN_EPS):
+    """The whole-SpaceTimeBlock kernel in the SPLIT layout: CLS (BB, 1, W)
+    and patch rows (BB, F, P, W) as separate operands/outputs. Same math as
+    _fit_layer_kernel; the layout turns every per-frame access into aligned
+    leading-dim indexing (the joint (BB, 1+F*P, W) layout slices rows at
+    offsets ≡ 1 mod 8, which Mosaic implements as sublane shifts — measured
+    ~2x the kernel's dense floor at eval shape)."""
+    xc32 = cls_ref[...].astype(jnp.float32)
+    xp32 = xp_ref[...].astype(jnp.float32)
+    width = xp32.shape[-1]
+    head_dim = width // heads
+    scale = head_dim ** -0.5
+    dtype = cls_ref.dtype
+
+    def attention_half(hc32, hp32, inv_in, wq_ref, qs_ref, qb_ref, inv_out,
+                       wo_ref, os_ref, ob_ref, mode):
+        qkv_c = _int8_dense_nd(_quant(hc32, inv_in),
+                               wq_ref, qs_ref, qb_ref).astype(dtype)
+        qkv_p = _int8_dense_nd(_quant(hp32, inv_in),
+                               wq_ref, qs_ref, qb_ref).astype(dtype)
+        cls_out = _cls_global_row_split(qkv_c, qkv_p, heads, scale, inv_out)
+        if mode == "space":
+            rows = _space_attention_split(qkv_c, qkv_p, heads, scale, inv_out)
+        else:
+            rows = _time_attention_split(qkv_c, qkv_p, heads, scale, inv_out)
+        c_q = jnp.clip(jnp.round(cls_out), -127, 127).astype(jnp.int8)
+        p_q = jnp.clip(jnp.round(rows), -127, 127).astype(jnp.int8)
+        return (_int8_dense_nd(c_q, wo_ref, os_ref, ob_ref),
+                _int8_dense_nd(p_q, wo_ref, os_ref, ob_ref))
+
+    # --- time half: t = x + proj(timeattn(LN3(x))) ---
+    tc, tp = attention_half(
+        _ln(xc32, ln3_s_ref, ln3_b_ref, ln_eps),
+        _ln(xp32, ln3_s_ref, ln3_b_ref, ln_eps), invs_ref[0, 0],
+        wtq_ref, tqs_ref, tqb_ref, invs_ref[0, 1],
+        wtp_ref, tps_ref, tpb_ref, "time")
+    tc32, tp32 = xc32 + tc, xp32 + tp
+
+    # --- space half: s = x + proj(attn(LN1(t))) — residual from the ORIGINAL
+    # input (the frozen-in-time topology, video_transformer.py:232) ---
+    sc, sp = attention_half(
+        _ln(tc32, ln1_s_ref, ln1_b_ref, ln_eps),
+        _ln(tp32, ln1_s_ref, ln1_b_ref, ln_eps), invs_ref[0, 2],
+        wsq_ref, sqs_ref, sqb_ref, invs_ref[0, 3],
+        wsp_ref, sps_ref, spb_ref, "space")
+    sc32, sp32 = xc32 + sc, xp32 + sp
+
+    # --- MLP half: folded exact-GELU epilogue (see _fit_layer_kernel) ---
+    for s32, y_ref in ((sc32, yc_ref), (sp32, yp_ref)):
+        h2_q = _quant(_ln(s32, ln2_s_ref, ln2_b_ref, ln_eps), invs_ref[0, 4])
+        acc = jax.lax.dot_general(
+            h2_q, wf_ref[...],
+            dimension_numbers=(((h2_q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        t = acc.astype(jnp.float32) * fs2_ref[...][0] + fb2_ref[...][0]
+        h_q = _erf_gelu_quant(t, kv_ref[...][0], approx_recip)
+        y_ref[...] = (s32 + _int8_dense_nd(h_q, wp_ref, ps_ref, pb_ref)) \
+            .astype(y_ref.dtype)
+
+
 def _fit_layer_kernel(x_ref, invs_ref,
                       ln3_s_ref, ln3_b_ref, wtq_ref, tqs_ref, tqb_ref,
                       wtp_ref, tps_ref, tpb_ref,
@@ -242,19 +457,9 @@ def _dense_operands(node: Dict[str, Any]):
             node["bias"].astype(jnp.float32).reshape(1, -1), 127.0 / act)
 
 
-def fused_fit_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
-                         frames: int, block_rows: int = 1,
-                         ln_eps: float = FIT_LN_EPS,
-                         interpret: Optional[bool] = None) -> jnp.ndarray:
-    """x (B, 1+F*P, W) bf16 + one SpaceTimeBlock's quantized param node
-    (norm1/norm2/norm3 with weight/bias; attn.qkv/attn.proj, timeattn.qkv/
-    timeattn.proj, mlp_fc1, mlp_fc2 as {kernel_q, scale, bias, act_scale})
-    -> (B, 1+F*P, W) bf16. The activation operand is ALIASED to the output
-    (callers must treat it as donated); weights are VMEM-resident across the
-    batch grid via constant index maps."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
+def _layer_weight_operands(layer: Dict[str, Any]):
+    """The (invs, [weight operands...]) shared by both kernel layouts, in
+    _fit_layer_kernel's operand order (minus the activations)."""
     wtq, tqs, tqb, inv_tq = _dense_operands(layer["timeattn"]["qkv"])
     wtp, tps, tpb, inv_tp = _dense_operands(layer["timeattn"]["proj"])
     wsq, sqs, sqb, inv_sq = _dense_operands(layer["attn"]["qkv"])
@@ -271,8 +476,7 @@ def fused_fit_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
     def ln_vec(name, leaf):
         return layer[name][leaf].astype(jnp.float32).reshape(1, -1)
 
-    operands = [
-        x, invs,
+    return invs, [
         ln_vec("norm3", "weight"), ln_vec("norm3", "bias"), wtq, tqs, tqb,
         wtp, tps, tpb,
         ln_vec("norm1", "weight"), ln_vec("norm1", "bias"), wsq, sqs, sqb,
@@ -280,6 +484,80 @@ def fused_fit_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
         ln_vec("norm2", "weight"), ln_vec("norm2", "bias"), wf, fs2, fb2, kv,
         wp, ps, pb,
     ]
+
+
+def fused_fit_int8_layer_split(cls_row: jnp.ndarray, patches: jnp.ndarray,
+                               layer: Dict[str, Any], heads: int,
+                               block_rows: int = 1,
+                               ln_eps: float = FIT_LN_EPS,
+                               interpret: Optional[bool] = None):
+    """SPLIT-layout whole-block kernel: cls_row (B, 1, W) + patches
+    (B, F, P, W) bf16 -> same shapes. Numerically the same math as
+    fused_fit_int8_layer on the joint (B, 1+F*P, W) layout, but every frame
+    access in-kernel is aligned leading-dim indexing. Both activation
+    operands are ALIASED to the outputs (callers must treat them as
+    donated); weights are VMEM-resident across the batch grid."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    invs, weights = _layer_weight_operands(layer)
+    operands = [cls_row, patches, invs] + weights
+    kernel = functools.partial(_fit_layer_split_kernel, heads=heads,
+                               approx_recip=not interpret, ln_eps=ln_eps)
+
+    batch, _, width = cls_row.shape
+    frames, n_patch = patches.shape[1], patches.shape[2]
+    block = block_rows
+    while batch % block:
+        block -= 1
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    smem = pltpu.ANY if interpret else pltpu.SMEM
+    in_specs = [
+        pl.BlockSpec((block, 1, width), lambda i: (i, 0, 0),
+                     memory_space=memory_space),
+        pl.BlockSpec((block, frames, n_patch, width),
+                     lambda i: (i, 0, 0, 0), memory_space=memory_space),
+    ]
+    for idx, op in enumerate(operands[2:], start=2):
+        in_specs.append(pl.BlockSpec(
+            op.shape, lambda i, nd=op.ndim: (0,) * nd,
+            memory_space=smem if idx == 2 else memory_space))
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((block, 1, width), lambda i: (i, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((block, frames, n_patch, width),
+                         lambda i: (i, 0, 0, 0), memory_space=memory_space),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(cls_row.shape, cls_row.dtype),
+            jax.ShapeDtypeStruct(patches.shape, patches.dtype),
+        ],
+        interpret=interpret,
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(*operands)
+
+
+def fused_fit_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
+                         frames: int, block_rows: int = 1,
+                         ln_eps: float = FIT_LN_EPS,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """x (B, 1+F*P, W) bf16 + one SpaceTimeBlock's quantized param node
+    (norm1/norm2/norm3 with weight/bias; attn.qkv/attn.proj, timeattn.qkv/
+    timeattn.proj, mlp_fc1, mlp_fc2 as {kernel_q, scale, bias, act_scale})
+    -> (B, 1+F*P, W) bf16. The activation operand is ALIASED to the output
+    (callers must treat it as donated); weights are VMEM-resident across the
+    batch grid via constant index maps."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    invs, weights = _layer_weight_operands(layer)
+    operands = [x, invs] + weights
     kernel = functools.partial(_fit_layer_kernel, heads=heads, frames=frames,
                                approx_recip=not interpret, ln_eps=ln_eps)
 

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Single-process A/B of the FiT video-tower eval path: SPLIT-layout vs
+JOINT-layout whole-block megakernel, end-to-end through
+encode_video_features_fast (patch conv + embed prologue + 12 blocks + final
+LN). Interleaved measurement (joint, split, joint, split) so relay-load
+drift hits both arms equally. Relay-safe timing per
+fitclip_tpu/utils/benchmarking.py. One JSON line per measurement.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.frozen_in_time.encoder import (
+        FrozenInTimeConfig, FrozenInTimeVideoTextEncoder)
+    from fitclip_tpu.models.frozen_in_time.fit_fast import (
+        encode_video_features_fast)
+    from fitclip_tpu.ops.quant import apply_act_scales
+    from fitclip_tpu.utils.benchmarking import sustained_seconds_per_step
+
+    batch = int(os.environ.get("BENCH_CLIPS", "32"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
+    cfg = FrozenInTimeConfig()
+    enc = FrozenInTimeVideoTextEncoder(cfg, dtype="int8",
+                                       fused_attention=False,
+                                       fused_block=False)
+    qparams = enc.init_params(jax.random.PRNGKey(0))
+    calib_rng = np.random.default_rng(0)
+    calib = jnp.asarray(calib_rng.normal(size=(
+        8, cfg.num_frames, cfg.img_size, cfg.img_size, 3)).astype(np.float32))
+    qparams = apply_act_scales(qparams, enc.collect_act_amax(qparams, calib))
+
+    rng = np.random.default_rng(1)
+    video = jnp.asarray(rng.normal(size=(
+        batch, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
+    ).astype(np.float32)).astype(jnp.bfloat16)
+
+    def make_chain(split: bool):
+        @jax.jit
+        def chain(video, steps):
+            def body(i, carry):
+                v = video * (1.0 + i.astype(video.dtype)
+                             * jnp.bfloat16(1e-6))
+                emb = encode_video_features_fast(qparams["video"], v, cfg,
+                                                 split=split)
+                return carry + jnp.sum(emb.astype(jnp.float32))
+            return jax.lax.fori_loop(0, steps, body, jnp.float32(0.0))
+        return chain
+
+    chains = {"joint": make_chain(False), "split": make_chain(True)}
+    for r in range(rounds):
+        for name, chain in chains.items():
+            seconds = sustained_seconds_per_step(
+                lambda s, c=chain: c(video, jnp.int32(s)))
+            print(json.dumps({
+                "case": name, "round": r,
+                "ms_per_call": round(seconds * 1e3, 2),
+                "clips_per_sec": round(batch / seconds, 1),
+                "batch_clips": batch}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,3 +66,32 @@ def test_fit_megakernel_partial_frames():
     qparams = apply_act_scales(qparams, mk.collect_act_amax(qparams, video))
     assert _cosine(mk.encode_video(qparams, video),
                    fp32.encode_video(params, video)) > 0.99
+
+
+def test_fit_split_layout_matches_joint_layout():
+    """The SPLIT-layout kernel (CLS + (B,F,P,W) patch rows as separate
+    operands, fused_fit_int8_layer_split) is the same math as the joint
+    (B,1+F*P,W) kernel up to reduction order. It is a measured-negative
+    ablation (slower e2e, scripts/bench_fit_e2e_ab.py) — the joint layout
+    stays the default; this pins the split arm's numerics."""
+    from fitclip_tpu.models.frozen_in_time.fit_fast import (
+        encode_video_features_fast)
+
+    cfg = FrozenInTimeConfig.tiny_test()
+    fp32 = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                        fused_attention=False)
+    params = fp32.init_params(jax.random.PRNGKey(0))
+    video = jax.random.normal(jax.random.PRNGKey(3),
+                              (2, cfg.num_frames, cfg.img_size,
+                               cfg.img_size, 3))
+    qparams = dict(params, video=quantize_fit_video_params(params["video"]))
+    mk = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                      dtype="int8", fused_attention=False,
+                                      fused_block=True)
+    qparams = apply_act_scales(qparams, mk.collect_act_amax(qparams, video))
+
+    emb_split = encode_video_features_fast(qparams["video"], video, cfg,
+                                           split=True)
+    emb_joint = encode_video_features_fast(qparams["video"], video, cfg,
+                                           split=False)
+    assert _cosine(emb_split, emb_joint) > 0.9995
