@@ -1,0 +1,194 @@
+"""Serving layer: dynamic batcher semantics + the embed service HTTP surface.
+
+The batcher is the TPU-native online-inference shape (static bucket shapes,
+one compile per bucket — see fitclip_tpu/serving/batcher.py); these tests
+pin that requests are coalesced, padded rows never leak, backpressure
+rejects, and failures fan out without killing the dispatcher.
+"""
+import io
+import json
+import threading
+import time
+from concurrent.futures import wait
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fitclip_tpu.serving import BatchServer
+from fitclip_tpu.serving.batcher import ServerClosed, ServerOverloaded
+
+ITEM = (5,)
+
+
+def _tracking_encode(sleep_s: float = 0.0):
+    """A jitted row-wise fn + a log of the batch sizes it was called with."""
+    calls = []
+
+    @jax.jit
+    def fn(x):
+        return jnp.tanh(x) * 2.0 + jnp.arange(x.shape[-1], dtype=x.dtype)
+
+    def encode(x):
+        calls.append(x.shape[0])
+        if sleep_s:
+            time.sleep(sleep_s)
+        return fn(x)
+
+    return encode, fn, calls
+
+
+def test_results_match_unbatched_and_padding_never_leaks():
+    encode, fn, calls = _tracking_encode()
+    items = [np.random.default_rng(i).normal(size=ITEM).astype(np.float32)
+             for i in range(23)]  # odd count: every batch needs padding
+    with BatchServer(encode, ITEM, bucket_sizes=(4,), max_wait_ms=20) as srv:
+        futures = [srv.submit(it) for it in items]
+        outs = [f.result(timeout=30) for f in futures]
+    for it, out in zip(items, outs):
+        np.testing.assert_allclose(out, np.asarray(fn(it[None]))[0],
+                                   rtol=1e-6)
+    # Warmup + every dispatch used the static bucket shape.
+    assert set(calls) == {4}
+
+
+def test_coalesces_concurrent_requests():
+    encode, _, calls = _tracking_encode()
+    srv = BatchServer(encode, ITEM, bucket_sizes=(1, 2, 4, 8, 16),
+                      max_wait_ms=50).start()
+    try:
+        n_warmup = len(calls)
+        barrier = threading.Barrier(12)
+        futures = [None] * 12
+
+        def client(i):
+            barrier.wait()
+            futures[i] = srv.submit(np.full(ITEM, i, np.float32))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wait([f for f in futures if f is not None], timeout=30)
+        dispatches = len(calls) - n_warmup
+        # 12 near-simultaneous requests inside a 50 ms window must share
+        # device calls; the bound is loose (threads may straggle) but a
+        # per-request dispatch (12 calls) must not happen.
+        assert dispatches < 12
+        assert srv.stats.batches == dispatches
+        assert srv.stats.mean_batch_fill > 0.4
+    finally:
+        srv.stop()
+
+
+def test_backpressure_rejects_when_queue_full():
+    encode, _, _ = _tracking_encode(sleep_s=0.2)
+    srv = BatchServer(encode, ITEM, bucket_sizes=(1,), max_wait_ms=0,
+                      queue_size=2).start(warmup=False)
+    try:
+        with pytest.raises(ServerOverloaded):
+            for _ in range(50):  # outrun the 0.2 s/batch dispatcher
+                srv.submit(np.zeros(ITEM, np.float32))
+    finally:
+        srv.stop()
+    assert srv.stats.rejected >= 1
+
+
+def test_error_fans_out_and_server_survives():
+    toggle = {"fail": True}
+
+    def encode(x):
+        if toggle["fail"]:
+            raise RuntimeError("poisoned batch")
+        return x * 2
+
+    srv = BatchServer(encode, ITEM, bucket_sizes=(1, 2),
+                      max_wait_ms=0).start(warmup=False)
+    try:
+        bad = srv.submit(np.ones(ITEM, np.float32))
+        with pytest.raises(RuntimeError, match="poisoned"):
+            bad.result(timeout=10)
+        toggle["fail"] = False
+        good = srv.submit(np.ones(ITEM, np.float32))
+        np.testing.assert_allclose(good.result(timeout=10),
+                                   np.full(ITEM, 2.0))
+    finally:
+        srv.stop()
+
+
+def test_submit_after_stop_raises():
+    encode, _, _ = _tracking_encode()
+    srv = BatchServer(encode, ITEM, bucket_sizes=(1,)).start(warmup=False)
+    srv.stop()
+    with pytest.raises(ServerClosed):
+        srv.submit(np.zeros(ITEM, np.float32))
+
+
+def test_item_shape_validated():
+    encode, _, _ = _tracking_encode()
+    with BatchServer(encode, ITEM, bucket_sizes=(1,)) as srv:
+        with pytest.raises(ValueError, match="shape"):
+            srv.submit(np.zeros((7,), np.float32))
+
+
+@pytest.fixture()
+def tiny_text_service(tmp_path):
+    from fitclip_tpu.models.clip.load import load_tiny_test_encoder
+    from fitclip_tpu.models.clip.tokenizer import write_tiny_test_vocab
+
+    merges, vocab = write_tiny_test_vocab(
+        str(tmp_path), ["a", "cat", "video", "of"] * 3)
+    loaded = load_tiny_test_encoder(bpe_path=merges, vocab_path=vocab)
+
+    from demo.embed_service import TextEmbedService
+
+    service = TextEmbedService(loaded.encoder, loaded.params,
+                               bucket_sizes=(1, 2, 4), max_wait_ms=5).start()
+    yield loaded, service
+    service.stop()
+
+
+def test_embed_service_matches_direct_encode(tiny_text_service):
+    loaded, service = tiny_text_service
+    texts = ["a cat", "video of a cat", "a video"]
+    out = service.embed_texts(texts)
+    ids = loaded.encoder.get_tokenizer()(texts)
+    direct = np.asarray(loaded.encoder.encode_text(loaded.params, ids))
+    np.testing.assert_allclose(out, direct, rtol=2e-5, atol=2e-5)
+
+
+def test_embed_service_wsgi_surface(tiny_text_service, monkeypatch):
+    import demo.embed_service as es
+
+    _, service = tiny_text_service
+    monkeypatch.setattr(es, "_SERVICE", service)
+
+    def call(method, path, payload=None):
+        body = json.dumps(payload).encode() if payload is not None else b""
+        status_box = {}
+
+        def start_response(status, headers):
+            status_box["status"] = status
+
+        environ = {"REQUEST_METHOD": method, "PATH_INFO": path,
+                   "CONTENT_LENGTH": str(len(body)),
+                   "wsgi.input": io.BytesIO(body)}
+        chunks = es.application(environ, start_response)
+        return status_box["status"], json.loads(b"".join(chunks))
+
+    status, reply = call("POST", "/embed_text", {"texts": ["a cat video"]})
+    assert status == "200 OK"
+    assert len(reply["embeddings"]) == 1
+    assert len(reply["embeddings"][0]) == reply["dim"]
+
+    status, reply = call("GET", "/health")
+    assert status == "200 OK" and reply["status"] == "ok"
+
+    status, reply = call("POST", "/embed_text", {"texts": "not-a-list"})
+    assert status == "400 Bad Request"
+
+    status, _ = call("GET", "/nope")
+    assert status == "404 Not Found"
