@@ -1,4 +1,4 @@
-"""Online text-embedding service: the serving-side counterpart of the
+"""Online embedding service: the serving-side counterpart of the
 subtitle-search demo (demo/app.py serves PREcomputed embeddings, mirroring
 the reference demo/app.py; this service computes embeddings ON the chip per
 request, through the dynamic batcher in fitclip_tpu/serving/).
@@ -8,6 +8,11 @@ Endpoints:
       -> {"embeddings": [[...], ...], "dim": D}
       Each text is tokenized and submitted individually; the batcher
       coalesces concurrent requests into one bucket-padded device call.
+- POST /embed_video[?format=mp4]   body = raw video container bytes
+      -> {"embedding": [...], "dim": D}
+      Decoded (native FFmpeg ext / OpenCV fallback), eval-frame-sampled and
+      transformed exactly like the eval data pipeline (same
+      build_pipeline(train=False)), then batched through the video tower.
 - GET  /health       -> stats JSON (requests, batches, mean batch fill)
 
 Server surfaces (same split as demo/app.py):
@@ -20,7 +25,16 @@ Env:
 - EMBED_ENCODER     config/encoder/<name>.yaml to serve (required)
 - EMBED_CHECKPOINT  optional orbax dir / torch .pt for fine-tuned weights
 - EMBED_MAX_WAIT_MS batching window after the first request (default 2)
-- EMBED_MAX_BATCH   largest bucket (default 32)
+- EMBED_MAX_BATCH   largest text bucket (default 32)
+- EMBED_MAX_VIDEO_BATCH  largest video bucket (default 8)
+- EMBED_MAX_VIDEO_MB     request-size cap for /embed_video (default 64)
+- EMBED_PLATFORM    pin the jax backend (e.g. "cpu", "tpu"). Goes through
+                    jax.config.update — on hosts where sitecustomize
+                    imports jax before user code, the JAX_PLATFORMS env
+                    var alone cannot override the platform anymore.
+
+The video tower warms up lazily on the first /embed_video request (its
+bucket compiles are the expensive ones); the text tower warms at startup.
 """
 
 import json
@@ -46,12 +60,15 @@ class TextEmbedService:
         context_len = self._tokenize(["warmup"]).shape[-1]
         params = jax.device_put(params)
 
-        @jax.jit
-        def encode(ids):
-            return encoder.encode_text(params, ids)
+        # Params ride as a jit ARGUMENT, not a closure capture: captured
+        # arrays serialize into the program as HLO constants, which blows
+        # remote-compile request limits at real model sizes (and bloats the
+        # compile cache). As an argument only their shapes serialize.
+        encode_jit = jax.jit(encoder.encode_text)
 
         self.server = BatchServer(
-            encode, item_shape=(context_len,), dtype=np.int32,
+            lambda ids: encode_jit(params, ids),
+            item_shape=(context_len,), dtype=np.int32,
             bucket_sizes=bucket_sizes, max_wait_ms=max_wait_ms)
 
     def start(self) -> "TextEmbedService":
@@ -69,18 +86,93 @@ class TextEmbedService:
         return np.stack([f.result() for f in futures])
 
 
+class VideoEmbedService:
+    """Eval data pipeline (decode -> frame-sample -> transform) + the
+    dynamic-batched video tower. Preprocessing is the SAME
+    build_pipeline(train=False) the eval loader uses, so a served embedding
+    matches the offline eval path bit-for-bit."""
+
+    def __init__(self, encoder, params, bucket_sizes: Sequence[int],
+                 max_wait_ms: float):
+        import jax
+
+        from fitclip_tpu.data.data_module import build_pipeline
+        from fitclip_tpu.serving import BatchServer
+
+        spec = encoder.preprocess
+        self._pipeline = build_pipeline(encoder, train=False)
+        self._num_frames = spec.pad_to_min_frames or spec.num_frames
+        size = spec.image_size
+        params = jax.device_put(params)
+
+        # Params as a jit argument — see TextEmbedService.
+        encode_jit = jax.jit(encoder.encode_video)
+
+        self.server = BatchServer(
+            lambda videos: encode_jit(params, videos),
+            item_shape=(self._num_frames, size, size, 3),
+            dtype=np.uint8, bucket_sizes=bucket_sizes,
+            max_wait_ms=max_wait_ms)
+
+    def start(self, warmup: bool = True) -> "VideoEmbedService":
+        self.server.start(warmup=warmup)
+        return self
+
+    def stop(self) -> None:
+        self.server.stop()
+
+    def preprocess_bytes(self, data: bytes, fmt: str = "mp4") -> np.ndarray:
+        """Raw container bytes -> (F, S, S, 3) uint8 eval clip."""
+        import tempfile
+
+        from fitclip_tpu.data.transforms import pad_to_min_frames
+        from fitclip_tpu.data.video_reader import VideoReader
+
+        if not fmt.isalnum():
+            raise ValueError(f"bad format {fmt!r}")
+        with tempfile.NamedTemporaryFile(suffix=f".{fmt}") as handle:
+            handle.write(data)
+            handle.flush()
+            try:
+                reader = VideoReader.from_path(handle.name)
+                # Batch eval zero-fills undecodable clips (decord-parity
+                # tolerance); an online API rejects them instead.
+                if not reader.ok or len(reader) == 0:
+                    raise ValueError
+                indices = self._pipeline.sampler(0, len(reader) - 1,
+                                                 fps=reader.get_avg_fps())
+                frames = reader(indices)
+            except ValueError:
+                raise ValueError("could not decode any frames") from None
+            except Exception as error:  # decoder backends raise their own
+                raise ValueError(f"could not decode video: {error}") from None
+        clip = self._pipeline.transform(frames, None)
+        # Short clips right-pad with zero frames — the eval collate's
+        # stack_padded semantics (utils/tensor.py).
+        return pad_to_min_frames(clip, self._num_frames).astype(np.uint8)
+
+    def embed_video_bytes(self, data: bytes, fmt: str = "mp4") -> np.ndarray:
+        return self.server.submit(self.preprocess_bytes(data, fmt)).result()
+
+
 _SERVICE: Optional[TextEmbedService] = None
+_VIDEO_SERVICE: Optional[VideoEmbedService] = None
+_LOADED = None
 _SERVICE_LOCK = threading.Lock()
 
 
-def build_service() -> TextEmbedService:
-    """Instantiate the encoder named by EMBED_ENCODER and start serving it."""
-    import jax
-
+def _load_encoder():
+    """Instantiate (once) the encoder named by EMBED_ENCODER."""
     from fitclip_tpu.cli.main import (DEFAULT_CONFIG_DIR,
                                       _maybe_load_checkpoint,
                                       instantiate_encoder_slot)
     from fitclip_tpu.config_engine import compose
+
+    platform = os.environ.get("EMBED_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     name = os.environ.get("EMBED_ENCODER")
     if not name:
@@ -92,11 +184,31 @@ def build_service() -> TextEmbedService:
     if isinstance(loaded, dict):
         raise SystemExit(f"{name} is a {{student,teacher}} slot — serve one "
                          "tower's encoder config instead")
-    loaded = _maybe_load_checkpoint(loaded,
-                                    os.environ.get("EMBED_CHECKPOINT"))
+    return _maybe_load_checkpoint(loaded, os.environ.get("EMBED_CHECKPOINT"))
+
+
+def _ensure_loaded():
+    global _LOADED
+    if _LOADED is None:
+        _LOADED = _load_encoder()
+    return _LOADED
+
+
+def build_service() -> TextEmbedService:
+    loaded = _ensure_loaded()
     max_batch = int(os.environ.get("EMBED_MAX_BATCH", "32"))
     buckets = [b for b in (1, 2, 4, 8, 16, 32, 64, 128) if b <= max_batch]
     service = TextEmbedService(
+        loaded.encoder, loaded.params, bucket_sizes=buckets,
+        max_wait_ms=float(os.environ.get("EMBED_MAX_WAIT_MS", "2")))
+    return service.start()
+
+
+def build_video_service() -> VideoEmbedService:
+    loaded = _ensure_loaded()
+    max_batch = int(os.environ.get("EMBED_MAX_VIDEO_BATCH", "8"))
+    buckets = [b for b in (1, 2, 4, 8, 16, 32) if b <= max_batch]
+    service = VideoEmbedService(
         loaded.encoder, loaded.params, bucket_sizes=buckets,
         max_wait_ms=float(os.environ.get("EMBED_MAX_WAIT_MS", "2")))
     return service.start()
@@ -110,16 +222,58 @@ def _ensure_service() -> TextEmbedService:
     return _SERVICE
 
 
-def _handle(method: str, path: str, body: bytes) -> Tuple[int, bytes]:
+def _ensure_video_service() -> VideoEmbedService:
+    global _VIDEO_SERVICE
+    with _SERVICE_LOCK:
+        if _VIDEO_SERVICE is None:
+            _VIDEO_SERVICE = build_video_service()
+    return _VIDEO_SERVICE
+
+
+def _handle(method: str, path: str, body: bytes,
+            query_string: str = "") -> Tuple[int, bytes]:
     """Shared request logic for both server surfaces -> (status, JSON)."""
+    from urllib.parse import parse_qs
+
     from fitclip_tpu.serving.batcher import ServerOverloaded
 
+    if path == "/embed_video" and method == "POST":
+        limit = int(os.environ.get("EMBED_MAX_VIDEO_MB", "64")) * 2 ** 20
+        if len(body) > limit:
+            return 413, json.dumps({
+                "status": 413,
+                "message": f"video over {limit >> 20} MB"}).encode()
+        if not body:
+            return 400, json.dumps(
+                {"status": 400,
+                 "message": "body must be raw video bytes"}).encode()
+        fmt = parse_qs(query_string).get("format", ["mp4"])[0]
+        try:
+            embedding = _ensure_video_service().embed_video_bytes(body, fmt)
+            return 200, json.dumps({
+                "embedding": embedding.astype(float).tolist(),
+                "dim": int(embedding.shape[-1])}).encode()
+        except ServerOverloaded as error:
+            return 503, json.dumps({"status": 503,
+                                    "message": str(error)}).encode()
+        except ValueError as error:
+            return 400, json.dumps({"status": 400,
+                                    "message": str(error)}).encode()
+        except Exception as error:  # noqa: BLE001 - surfaced to the client
+            return 500, json.dumps({"status": 500,
+                                    "message": repr(error)}).encode()
     if path == "/health":
         stats = _ensure_service().server.stats
-        return 200, json.dumps({
-            "status": "ok", "requests": stats.requests,
-            "batches": stats.batches,
-            "mean_batch_fill": round(stats.mean_batch_fill, 4)}).encode()
+        payload = {"status": "ok", "requests": stats.requests,
+                   "batches": stats.batches,
+                   "mean_batch_fill": round(stats.mean_batch_fill, 4)}
+        if _VIDEO_SERVICE is not None:
+            vstats = _VIDEO_SERVICE.server.stats
+            payload["video"] = {"requests": vstats.requests,
+                                "batches": vstats.batches,
+                                "mean_batch_fill":
+                                    round(vstats.mean_batch_fill, 4)}
+        return 200, json.dumps(payload).encode()
     if path == "/embed_text" and method == "POST":
         try:
             texts = json.loads(body or b"{}").get("texts")
@@ -143,9 +297,12 @@ def _handle(method: str, path: str, body: bytes) -> Tuple[int, bytes]:
 
 class Handler(BaseHTTPRequestHandler):
     def _respond(self, method: str) -> None:
+        from urllib.parse import urlparse
+
         length = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(length) if length else b""
-        status, payload = _handle(method, self.path, body)
+        parsed = urlparse(self.path)
+        status, payload = _handle(method, parsed.path, body, parsed.query)
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Access-Control-Allow-Origin", "*")
@@ -164,6 +321,7 @@ class Handler(BaseHTTPRequestHandler):
 
 
 _STATUS_LINES = {200: "200 OK", 400: "400 Bad Request", 404: "404 Not Found",
+                 413: "413 Content Too Large",
                  500: "500 Internal Server Error",
                  503: "503 Service Unavailable"}
 
@@ -173,7 +331,8 @@ def application(environ, start_response) -> List[bytes]:
     length = int(environ.get("CONTENT_LENGTH") or 0)
     body = environ["wsgi.input"].read(length) if length else b""
     status, payload = _handle(environ.get("REQUEST_METHOD", "GET"),
-                              environ.get("PATH_INFO", "/"), body)
+                              environ.get("PATH_INFO", "/"), body,
+                              environ.get("QUERY_STRING", ""))
     start_response(_STATUS_LINES.get(status, f"{status} "), [
         ("Content-Type", "application/json"),
         ("Access-Control-Allow-Origin", "*"),

@@ -107,6 +107,10 @@ class NativeVideoReader(VideoReader):
                          "path %s and indices %s.", self.path, list(indices))
         return np.zeros((len(list(indices)), *_FALLBACK_SHAPE), dtype=np.uint8)
 
+    @property
+    def ok(self) -> bool:
+        return bool(self._handle)
+
     def __len__(self) -> int:
         return _LIB.vd_num_frames(self._handle) if self._handle else 1
 

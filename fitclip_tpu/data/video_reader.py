@@ -47,6 +47,14 @@ class VideoReader(ABC):
     def time_to_indices(self, time: Union[float, Sequence[float]]) -> np.ndarray:
         raise NotImplementedError
 
+    @property
+    def ok(self) -> bool:
+        """Whether the container opened and is decodable. Failed opens stay
+        usable (zero-fill failure tolerance, the decord-parity batch-eval
+        semantics) — online callers that would rather REJECT a bad video
+        than embed zeros (demo/embed_service.py) check this instead."""
+        return True
+
     @abstractmethod
     def get_avg_fps(self) -> float:
         raise NotImplementedError
@@ -118,6 +126,10 @@ class OpenCVVideoReader(VideoReader):
         except Exception:
             LOGGER.error("An error occurred when trying to load the video "
                          "with path %s.", self.path)
+
+    @property
+    def ok(self) -> bool:
+        return self.capture is not None
 
     def __call__(self, indices: Sequence[int]) -> np.ndarray:
         if self.capture is not None:

@@ -160,20 +160,83 @@ def test_embed_service_matches_direct_encode(tiny_text_service):
     np.testing.assert_allclose(out, direct, rtol=2e-5, atol=2e-5)
 
 
-def test_embed_service_wsgi_surface(tiny_text_service, monkeypatch):
+def _write_test_video(path: str, num_frames: int = 12) -> None:
+    import cv2
+
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 8.0,
+                             (64, 48))
+    rng = np.random.default_rng(7)
+    for _ in range(num_frames):
+        writer.write(rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8))
+    writer.release()
+
+
+@pytest.fixture()
+def tiny_video_service(tmp_path):
+    from fitclip_tpu.models.clip.load import load_tiny_test_encoder
+
+    from demo.embed_service import VideoEmbedService
+
+    loaded = load_tiny_test_encoder()
+    service = VideoEmbedService(loaded.encoder, loaded.params,
+                                bucket_sizes=(1, 2), max_wait_ms=5).start()
+    yield loaded, service, tmp_path
+    service.stop()
+
+
+def test_video_service_matches_eval_pipeline(tiny_video_service):
+    """A served video embedding equals running the eval data pipeline +
+    encode_video by hand — the serving path adds no numeric drift."""
+    from fitclip_tpu.data.data_module import build_pipeline
+    from fitclip_tpu.data.video_reader import VideoReader
+
+    loaded, service, tmp_path = tiny_video_service
+    path = str(tmp_path / "clip.avi")
+    _write_test_video(path)
+    data = open(path, "rb").read()
+
+    out = service.embed_video_bytes(data, fmt="avi")
+
+    pipeline = build_pipeline(loaded.encoder, train=False)
+    reader = VideoReader.from_path(path)
+    indices = pipeline.sampler(0, len(reader) - 1, fps=reader.get_avg_fps())
+    clip = pipeline.transform(reader(indices), None)
+    direct = np.asarray(loaded.encoder.encode_video(
+        loaded.params, clip[None]))[0]
+    np.testing.assert_allclose(out, direct, rtol=2e-5, atol=2e-5)
+    assert out.shape == (loaded.encoder.config.embed_dim,)
+
+
+def test_video_service_short_clip_pads(tiny_video_service):
+    """A clip shorter than the encoder's frame count right-pads with zero
+    frames (eval collate semantics) instead of crashing the bucket shape."""
+    loaded, service, tmp_path = tiny_video_service
+    path = str(tmp_path / "short.avi")
+    _write_test_video(path, num_frames=2)
+    out = service.embed_video_bytes(open(path, "rb").read(), fmt="avi")
+    assert out.shape == (loaded.encoder.config.embed_dim,)
+    assert np.isfinite(out).all()
+
+
+def test_embed_service_wsgi_surface(tiny_text_service, tiny_video_service,
+                                    monkeypatch):
     import demo.embed_service as es
 
     _, service = tiny_text_service
+    _, video_service, tmp_path = tiny_video_service
     monkeypatch.setattr(es, "_SERVICE", service)
+    monkeypatch.setattr(es, "_VIDEO_SERVICE", video_service)
 
-    def call(method, path, payload=None):
-        body = json.dumps(payload).encode() if payload is not None else b""
+    def call(method, path, payload=None, raw=None, query=""):
+        body = (raw if raw is not None else
+                json.dumps(payload).encode() if payload is not None else b"")
         status_box = {}
 
         def start_response(status, headers):
             status_box["status"] = status
 
         environ = {"REQUEST_METHOD": method, "PATH_INFO": path,
+                   "QUERY_STRING": query,
                    "CONTENT_LENGTH": str(len(body)),
                    "wsgi.input": io.BytesIO(body)}
         chunks = es.application(environ, start_response)
@@ -184,11 +247,25 @@ def test_embed_service_wsgi_surface(tiny_text_service, monkeypatch):
     assert len(reply["embeddings"]) == 1
     assert len(reply["embeddings"][0]) == reply["dim"]
 
+    video_path = str(tmp_path / "wsgi.avi")
+    _write_test_video(video_path)
+    status, reply = call("POST", "/embed_video",
+                         raw=open(video_path, "rb").read(), query="format=avi")
+    assert status == "200 OK"
+    assert len(reply["embedding"]) == reply["dim"]
+
     status, reply = call("GET", "/health")
     assert status == "200 OK" and reply["status"] == "ok"
+    assert reply["video"]["requests"] >= 1
 
     status, reply = call("POST", "/embed_text", {"texts": "not-a-list"})
     assert status == "400 Bad Request"
+
+    status, reply = call("POST", "/embed_video", raw=b"")
+    assert status == "400 Bad Request"
+
+    status, reply = call("POST", "/embed_video", raw=b"not a video")
+    assert status == "400 Bad Request"  # decodes zero frames
 
     status, _ = call("GET", "/nope")
     assert status == "404 Not Found"
