@@ -184,7 +184,29 @@ def _load_encoder():
     if isinstance(loaded, dict):
         raise SystemExit(f"{name} is a {{student,teacher}} slot — serve one "
                          "tower's encoder config instead")
-    return _maybe_load_checkpoint(loaded, os.environ.get("EMBED_CHECKPOINT"))
+    loaded = _maybe_load_checkpoint(loaded, os.environ.get("EMBED_CHECKPOINT"))
+    return type(loaded)(encoder=loaded.encoder,
+                        params=prepare_quantized_params(
+                            loaded.encoder, loaded.params,
+                            os.environ.get("EMBED_SCALES")))
+
+
+def prepare_quantized_params(encoder, params, scales_path: Optional[str]):
+    """int8 encoders need calibrated activation scales before any encode is
+    valid. Serving NEVER calibrates on live traffic (a skewed first request
+    would set every scale) — it requires scales persisted by an offline
+    eval run (``command=evaluate ++encoder.dtype=int8
+    ++quant.scales_path=scales.npz``), loaded here via EMBED_SCALES."""
+    if not getattr(encoder, "quantized", False):
+        return params
+    if not scales_path or not os.path.exists(scales_path):
+        raise SystemExit(
+            "quantized encoder: set EMBED_SCALES to the .npz written by an "
+            "offline eval with ++quant.scales_path=... (serving never "
+            "calibrates on live traffic)")
+    from fitclip_tpu.ops.quant import load_act_scales
+
+    return load_act_scales(scales_path, params)
 
 
 def _ensure_loaded():

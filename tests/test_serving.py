@@ -218,6 +218,47 @@ def test_video_service_short_clip_pads(tiny_video_service):
     assert np.isfinite(out).all()
 
 
+def test_quantized_serving_requires_persisted_scales(tmp_path):
+    """int8 encoders refuse to serve without offline-calibrated scales, and
+    serve correctly (vs the calibrated encoder run by hand) once EMBED_SCALES
+    points at the persisted .npz."""
+    from fitclip_tpu.models.clip.encoder import ClipVideoTextEncoder
+    from fitclip_tpu.models.clip.model import CLIPConfig
+    from fitclip_tpu.ops.quant import quantize_clip_params, save_act_scales
+
+    from demo.embed_service import VideoEmbedService, prepare_quantized_params
+
+    config = CLIPConfig.tiny_test()
+    float_enc = ClipVideoTextEncoder(config, num_frames=2)
+    params = float_enc.init_params(jax.random.PRNGKey(0))
+    quant_enc = ClipVideoTextEncoder(config, num_frames=2,
+                                     dtype=jnp.bfloat16, quantized=True)
+    qparams = quantize_clip_params(params)
+
+    with pytest.raises(SystemExit, match="EMBED_SCALES"):
+        prepare_quantized_params(quant_enc, qparams, None)
+
+    rng = np.random.default_rng(5)
+    video = jnp.asarray(rng.integers(
+        0, 256, size=(2, 2, config.vision.image_size,
+                      config.vision.image_size, 3)).astype(np.uint8))
+    text = jnp.asarray(rng.integers(1, 60, size=(2, 16)).astype(np.int32))
+    calibrated = quant_enc.calibrate(qparams, video, text)
+    scales_path = str(tmp_path / "scales.npz")
+    save_act_scales(scales_path, calibrated)
+
+    served_params = prepare_quantized_params(quant_enc, qparams, scales_path)
+    service = VideoEmbedService(quant_enc, served_params, bucket_sizes=(1,),
+                                max_wait_ms=0).start()
+    try:
+        clip = np.asarray(video[0], np.uint8)
+        out = service.server.submit(clip).result(timeout=60)
+    finally:
+        service.stop()
+    direct = np.asarray(quant_enc.encode_video(calibrated, video[:1]))[0]
+    np.testing.assert_allclose(out, direct, rtol=2e-2, atol=2e-2)
+
+
 def test_embed_service_wsgi_surface(tiny_text_service, tiny_video_service,
                                     monkeypatch):
     import demo.embed_service as es
