@@ -14,6 +14,12 @@ Design (TPU-first):
   one — runs ONE device call, and resolves each Future with its row.
   Padding rows are sliced off before fan-out, so callers never observe
   them.
+- **Fetch/dispatch overlap.** The dispatcher only *dispatches* (the device
+  call returns an async handle); the device->host transfer — ONE per batch
+  — runs on a small fetcher pool, so the next batch is already on the chip
+  while the previous batch's results stream back. When the host<->device
+  link has real latency, throughput is set by max(compute, fetch/pool)
+  instead of compute + fetch.
 - **Bounded queue = backpressure.** When the queue is full, ``submit``
   raises ``ServerOverloaded`` instead of buffering unboundedly; a serving
   frontend maps that to HTTP 429/503.
@@ -82,7 +88,7 @@ class BatchServer:
                  dtype=np.float32,
                  bucket_sizes: Sequence[int] = (1, 2, 4, 8, 16, 32),
                  max_wait_ms: float = 2.0, queue_size: int = 1024,
-                 pad_value=0):
+                 pad_value=0, fetch_workers: int = 2):
         if list(bucket_sizes) != sorted(set(bucket_sizes)) or not bucket_sizes:
             raise ValueError("bucket_sizes must be ascending and non-empty")
         self._encode = encode_fn
@@ -91,9 +97,14 @@ class BatchServer:
         self._buckets = tuple(int(b) for b in bucket_sizes)
         self._max_wait = max_wait_ms / 1e3
         self._pad_value = pad_value
+        self._fetch_workers = max(1, int(fetch_workers))
+        # Bounds batches in flight on the device (dispatched, not yet
+        # fetched) so the dispatcher can't run away with device memory.
+        self._inflight = threading.BoundedSemaphore(self._fetch_workers * 2)
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._closed = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._fetch_pool = None
         self.stats = ServerStats()
 
     # -- lifecycle ---------------------------------------------------------
@@ -107,6 +118,10 @@ class BatchServer:
                 zeros = np.full((b,) + self._item_shape, self._pad_value,
                                 self._dtype)
                 np.asarray(self._encode(zeros))
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._fetch_pool = ThreadPoolExecutor(max_workers=self._fetch_workers,
+                                              thread_name_prefix="batch-fetch")
         self._thread = threading.Thread(target=self._run,
                                         name="batch-server", daemon=True)
         self._thread.start()
@@ -127,6 +142,9 @@ class BatchServer:
         self._queue.put(None)  # sentinel wakes the dispatcher to exit
         self._thread.join()
         self._thread = None
+        if self._fetch_pool is not None:
+            self._fetch_pool.shutdown(wait=True)  # flush in-flight fetches
+            self._fetch_pool = None
 
     def __enter__(self) -> "BatchServer":
         return self.start()
@@ -200,14 +218,34 @@ class BatchServer:
                 pad = np.full((bucket - n,) + self._item_shape,
                               self._pad_value, self._dtype)
                 items = np.concatenate([items, pad])
+            self._inflight.acquire()
             try:
+                # Dispatch only — the device call returns an async handle
+                # (or a host array on eager backends; then the "fetch" below
+                # is a no-op copy).
                 out = self._encode(items)
             except Exception as exc:  # fan the failure out, keep serving
+                self._inflight.release()
                 for _, fut in batch:
                     fut.set_exception(exc)
                 continue
-            with self.stats._lock:
-                self.stats.batches += 1
-                self.stats.rows_padded += bucket - n
-            for i, (_, fut) in enumerate(batch):
-                fut.set_result(np.asarray(out[i]))
+            # Fetch + fan-out off-thread so the next batch dispatches while
+            # this one's results stream back. ONE device->host transfer per
+            # batch (per-row np.asarray(out[i]) would be n fetches).
+            self._fetch_pool.submit(self._fetch_and_resolve, out, batch,
+                                    bucket - n)
+
+    def _fetch_and_resolve(self, out, batch, padded: int) -> None:
+        try:
+            rows = np.asarray(out)
+        except Exception as exc:  # deferred device error surfaces here
+            for _, fut in batch:
+                fut.set_exception(exc)
+            return
+        finally:
+            self._inflight.release()
+        with self.stats._lock:
+            self.stats.batches += 1
+            self.stats.rows_padded += padded
+        for i, (_, fut) in enumerate(batch):
+            fut.set_result(rows[i])
