@@ -13,6 +13,12 @@ Endpoints:
       Decoded (native FFmpeg ext / OpenCV fallback), eval-frame-sampled and
       transformed exactly like the eval data pipeline (same
       build_pipeline(train=False)), then batched through the video tower.
+- GET  /search_videos?q=<text>&top_k=10   (requires EMBED_INDEX)
+      -> {"results": [{"video_id": ..., "score": ...}, ...]}
+      Text-to-video retrieval over a precomputed index: the query embeds
+      online through the batched text tower, ranking is cosine against the
+      ``command=predict`` dump (predictions .pt/.npz with encoded_videos +
+      video_ids).
 - GET  /health       -> stats JSON (requests, batches, mean batch fill)
 
 Server surfaces (same split as demo/app.py):
@@ -28,6 +34,8 @@ Env:
 - EMBED_MAX_BATCH   largest text bucket (default 32)
 - EMBED_MAX_VIDEO_BATCH  largest video bucket (default 8)
 - EMBED_MAX_VIDEO_MB     request-size cap for /embed_video (default 64)
+- EMBED_INDEX       predictions .pt/.npz from ``command=predict`` to serve
+                    /search_videos from
 - EMBED_PLATFORM    pin the jax backend (e.g. "cpu", "tpu"). Goes through
                     jax.config.update — on hosts where sitecustomize
                     imports jax before user code, the JAX_PLATFORMS env
@@ -155,8 +163,40 @@ class VideoEmbedService:
         return self.server.submit(self.preprocess_bytes(data, fmt)).result()
 
 
+class RetrievalIndex:
+    """Precomputed video embeddings + ids from ``command=predict``; query
+    ranking is a host-side cosine (embeddings are re-normalized at load —
+    CLIP's frame-mean-pooled clip embeddings have norm < 1). For indexes
+    past host-matmul scale, shard the matrix onto the chip instead."""
+
+    def __init__(self, path: str):
+        if path.endswith(".npz"):
+            data = np.load(path)
+            videos, ids = data["encoded_videos"], data["video_ids"]
+        else:
+            from fitclip_tpu.convert.pt_reader import load_pt
+
+            data = load_pt(path)
+            videos = np.asarray(data["encoded_videos"], np.float32)
+            ids = data["video_ids"]
+        norms = np.linalg.norm(videos, axis=-1, keepdims=True)
+        self.videos = np.asarray(videos, np.float32) / np.maximum(norms, 1e-8)
+        self.video_ids = [str(v) for v in ids]
+        if len(self.video_ids) != self.videos.shape[0]:
+            raise ValueError("index ids/embeddings length mismatch")
+
+    def search(self, query_emb: np.ndarray, top_k: int):
+        q = np.asarray(query_emb, np.float32)
+        q = q / max(float(np.linalg.norm(q)), 1e-8)
+        scores = self.videos @ q
+        top = np.argsort(-scores)[: max(1, top_k)]
+        return [{"video_id": self.video_ids[i],
+                 "score": round(float(scores[i]), 6)} for i in top]
+
+
 _SERVICE: Optional[TextEmbedService] = None
 _VIDEO_SERVICE: Optional[VideoEmbedService] = None
+_INDEX: Optional[RetrievalIndex] = None
 _LOADED = None
 _SERVICE_LOCK = threading.Lock()
 
@@ -252,6 +292,19 @@ def _ensure_video_service() -> VideoEmbedService:
     return _VIDEO_SERVICE
 
 
+def _ensure_index() -> RetrievalIndex:
+    global _INDEX
+    with _SERVICE_LOCK:
+        if _INDEX is None:
+            path = os.environ.get("EMBED_INDEX")
+            if not path or not os.path.exists(path):
+                raise FileNotFoundError(
+                    "no retrieval index — set EMBED_INDEX to a "
+                    "command=predict dump (.pt/.npz)")
+            _INDEX = RetrievalIndex(path)
+    return _INDEX
+
+
 def _handle(method: str, path: str, body: bytes,
             query_string: str = "") -> Tuple[int, bytes]:
     """Shared request logic for both server surfaces -> (status, JSON)."""
@@ -280,6 +333,27 @@ def _handle(method: str, path: str, body: bytes,
                                     "message": str(error)}).encode()
         except ValueError as error:
             return 400, json.dumps({"status": 400,
+                                    "message": str(error)}).encode()
+        except Exception as error:  # noqa: BLE001 - surfaced to the client
+            return 500, json.dumps({"status": 500,
+                                    "message": repr(error)}).encode()
+    if path == "/search_videos" and method == "GET":
+        try:
+            query = parse_qs(query_string)
+            text = query.get("q", [""])[0]
+            if not text:
+                return 400, json.dumps(
+                    {"status": 400, "message": "missing ?q=<text>"}).encode()
+            top_k = int(query.get("top_k", ["10"])[0])
+            index = _ensure_index()
+            query_emb = _ensure_service().embed_texts([text])[0]
+            return 200, json.dumps(
+                {"results": index.search(query_emb, top_k)}).encode()
+        except FileNotFoundError as error:
+            return 503, json.dumps({"status": 503,
+                                    "message": str(error)}).encode()
+        except ServerOverloaded as error:
+            return 503, json.dumps({"status": 503,
                                     "message": str(error)}).encode()
         except Exception as error:  # noqa: BLE001 - surfaced to the client
             return 500, json.dumps({"status": 500,

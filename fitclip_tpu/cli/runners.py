@@ -320,7 +320,10 @@ def _save_predictions(predictions, output_path):
             torch.save({k: torch.from_numpy(v) if isinstance(v, np.ndarray) else v
                         for k, v in predictions.items()}, output_path)
         except ImportError:
+            # Keep string lists (video_ids) too — they become unicode
+            # arrays; the retrieval index (demo/embed_service.py) needs them.
             np.savez(output_path.replace(".pt", ".npz"), **{
-                k: v for k, v in predictions.items() if isinstance(v, np.ndarray)})
+                k: (v if isinstance(v, np.ndarray) else np.asarray(v))
+                for k, v in predictions.items()})
         LOGGER.info("Saved predictions to %s", output_path)
     return predictions

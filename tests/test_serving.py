@@ -259,6 +259,57 @@ def test_quantized_serving_requires_persisted_scales(tmp_path):
     np.testing.assert_allclose(out, direct, rtol=2e-2, atol=2e-2)
 
 
+def test_retrieval_index_search_and_endpoint(tiny_text_service, tmp_path,
+                                             monkeypatch):
+    """/search_videos ranks a predict-dump index by cosine against the
+    online-embedded query: the index row built FROM a query's own embedding
+    must rank first with score ~1."""
+    from demo.embed_service import RetrievalIndex
+
+    import demo.embed_service as es
+
+    loaded, service = tiny_text_service
+    texts = ["a cat video", "a video of a dog", "cat piano"]
+    embs = service.embed_texts(texts)
+
+    index_path = str(tmp_path / "predictions.npz")
+    np.savez(index_path, encoded_videos=embs.astype(np.float32),
+             encoded_texts=embs.astype(np.float32),
+             video_ids=np.asarray([f"video{i}" for i in range(len(texts))]))
+    index = RetrievalIndex(index_path)
+    results = index.search(embs[1], top_k=2)
+    assert results[0]["video_id"] == "video1"
+    assert results[0]["score"] > 0.999
+    assert len(results) == 2
+
+    monkeypatch.setattr(es, "_SERVICE", service)
+    monkeypatch.setattr(es, "_INDEX", index)
+
+    def call(path, query):
+        status_box = {}
+
+        def start_response(status, headers):
+            status_box["status"] = status
+
+        environ = {"REQUEST_METHOD": "GET", "PATH_INFO": path,
+                   "QUERY_STRING": query, "CONTENT_LENGTH": "0",
+                   "wsgi.input": io.BytesIO(b"")}
+        chunks = es.application(environ, start_response)
+        return status_box["status"], json.loads(b"".join(chunks))
+
+    status, reply = call("/search_videos", "q=a+video+of+a+dog&top_k=2")
+    assert status == "200 OK"
+    assert reply["results"][0]["video_id"] == "video1"
+
+    status, reply = call("/search_videos", "top_k=2")
+    assert status == "400 Bad Request"
+
+    monkeypatch.setattr(es, "_INDEX", None)
+    monkeypatch.delenv("EMBED_INDEX", raising=False)
+    status, reply = call("/search_videos", "q=cat")
+    assert status == "503 Service Unavailable"
+
+
 def test_embed_service_wsgi_surface(tiny_text_service, tiny_video_service,
                                     monkeypatch):
     import demo.embed_service as es
