@@ -103,12 +103,16 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
     def __init__(self, tokenizer: Optional[MilNceTokenizer] = None,
                  vocab_path: Optional[str] = None, max_tokens: int = 20,
                  num_frames: int = 16, dtype=jnp.float32,
-                 vocab_size: int = 66250) -> None:
+                 vocab_size: int = 66250, fast: Optional[bool] = None) -> None:
         dtype = jnp.dtype(dtype)  # accepts "bfloat16" from config overrides
         self.video_model = S3DG(dtype=dtype)
         self.text_model = MilNceTextEncoder(vocab_size=vocab_size)
         self.num_frames = num_frames
         self.dtype = dtype
+        # The restructured eval forward (models/s3dg_fast.py: folded BN,
+        # merged branch convs) is the default for the bf16 tower; fp32 keeps
+        # the Flax module (oracle-parity path). ++encoder.fast=false pins it.
+        self.fast = (dtype == jnp.bfloat16) if fast is None else bool(fast)
         if tokenizer is None and vocab_path:
             tokenizer = MilNceTokenizer.from_npy(vocab_path, max_tokens=max_tokens)
         self._tokenizer = tokenizer
@@ -137,6 +141,10 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
         scores MIL-NCE embeddings unnormalized)."""
         if video.dtype == jnp.uint8:
             video = video.astype(self.dtype) / 255.0
+        if self.fast:
+            from fitclip_tpu.models.s3dg_fast import s3dg_fast_apply
+
+            return s3dg_fast_apply(params["video"], video, dtype=self.dtype)
         return self.video_model.apply({"params": params["video"]}, video)
 
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
@@ -156,13 +164,15 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
 def load_mil_nce_encoder(vocab_path: Optional[str] = None,
                          pretrained_path: Optional[str] = None,
                          max_tokens: int = 20, num_frames: int = 16, seed: int = 0,
-                         dtype="float32"):
+                         dtype="float32", fast=None):
     """config/encoder/mil_nce.yaml factory. ++encoder.dtype=bfloat16 runs the
-    S3DG tower in bf16 (fp32 stays the oracle-parity default)."""
+    S3DG tower in bf16 (fp32 stays the oracle-parity default); bf16 also
+    defaults to the restructured eval forward (++encoder.fast=false pins the
+    Flax module)."""
     from fitclip_tpu.models.clip.load import LoadedEncoder
 
     encoder = MilNceVideoTextEncoder(vocab_path=vocab_path, max_tokens=max_tokens,
-                                     num_frames=num_frames, dtype=dtype)
+                                     num_frames=num_frames, dtype=dtype, fast=fast)
     if pretrained_path:
         from fitclip_tpu.convert.torch_state_dict import load_torch_state_dict
 

@@ -244,13 +244,16 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
                  num_frames: int = 32, max_tokens: int = 64,
                  frames_per_clip: int = 32,
                  tokenizer=None, vocab_path: Optional[str] = None,
-                 dtype=jnp.float32) -> None:
+                 dtype=jnp.float32, fast: Optional[bool] = None) -> None:
         self.config = config or BertConfig()
         self.model = VideoClipModel(self.config)
         # dtype runs the S3DG feature extractor (the FLOP/bandwidth bulk of
         # this encoder) in that dtype; the small MMBert fusion stays fp32.
         self.dtype = jnp.dtype(dtype)
         self.s3dg = S3DG(dtype=self.dtype)
+        # bf16 defaults to the restructured S3DG eval forward
+        # (models/s3dg_fast.py); fp32 keeps the Flax oracle-parity path.
+        self.fast = (self.dtype == jnp.bfloat16) if fast is None else bool(fast)
         self.num_frames = num_frames
         self.frames_per_clip = frames_per_clip
         self._tokenizer = tokenizer
@@ -295,7 +298,12 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
         usable = n_clips * self.frames_per_clip
         clips = video[:, :usable].reshape(b * n_clips, self.frames_per_clip,
                                           *video.shape[2:])
-        features = self.s3dg.apply({"params": params["s3dg"]}, clips)
+        if self.fast:
+            from fitclip_tpu.models.s3dg_fast import s3dg_fast_apply
+
+            features = s3dg_fast_apply(params["s3dg"], clips, dtype=self.dtype)
+        else:
+            features = self.s3dg.apply({"params": params["s3dg"]}, clips)
         features = features.reshape(b, n_clips, -1)
         vmasks = jnp.ones((b, n_clips), jnp.int32)
         return self.model.apply({"params": params["model"]}, features, vmasks,
@@ -329,13 +337,15 @@ def load_videoclip_encoder(model_pretrained_path: Optional[str] = None,
                            video_encoder_pretrained_path: Optional[str] = None,
                            vocab_path: Optional[str] = None,
                            num_frames: int = 32, max_tokens: int = 64, seed: int = 0,
-                           dtype="float32"):
+                           dtype="float32", fast=None):
     """config/encoder/videoclip.yaml factory. ++encoder.dtype=bfloat16 runs
-    the S3DG feature tower in bf16 (fp32 stays the oracle-parity default)."""
+    the S3DG feature tower in bf16 (fp32 stays the oracle-parity default);
+    bf16 also defaults to the restructured S3DG eval forward
+    (++encoder.fast=false pins the Flax module)."""
     from fitclip_tpu.models.clip.load import LoadedEncoder
 
     encoder = VideoClipVideoTextEncoder(num_frames=num_frames, max_tokens=max_tokens,
-                                        vocab_path=vocab_path, dtype=dtype)
+                                        vocab_path=vocab_path, dtype=dtype, fast=fast)
     params = encoder.init_params(jax.random.PRNGKey(seed))
     from fitclip_tpu.convert.torch_state_dict import load_torch_state_dict
 
