@@ -36,6 +36,13 @@ Env:
 - EMBED_MAX_VIDEO_MB     request-size cap for /embed_video (default 64)
 - EMBED_INDEX       predictions .pt/.npz from ``command=predict`` to serve
                     /search_videos from
+- EMBED_COMPILE_CACHE  persistent XLA executable cache dir: restarted
+  workers load their bucket programs instead of re-compiling (see
+  fitclip_tpu/serving/export.py)
+- EMBED_EXPORT_DIR  serve from scripts/export_serving.py's jax.export
+  artifacts (version-pinned StableHLO per tower/bucket + one params
+  file) instead of tracing the encoder in-process; bucket sizes come
+  from the artifact set
 - EMBED_PLATFORM    pin the jax backend (e.g. "cpu", "tpu"). Goes through
                     jax.config.update — on hosts where sitecustomize
                     imports jax before user code, the JAX_PLATFORMS env
@@ -59,23 +66,25 @@ class TextEmbedService:
     """Tokenizer + dynamic-batched text tower of one encoder."""
 
     def __init__(self, encoder, params, bucket_sizes: Sequence[int],
-                 max_wait_ms: float):
+                 max_wait_ms: float, encode_fn=None):
         import jax
 
         from fitclip_tpu.serving import BatchServer
 
         self._tokenize = encoder.get_tokenizer()
         context_len = self._tokenize(["warmup"]).shape[-1]
-        params = jax.device_put(params)
 
-        # Params ride as a jit ARGUMENT, not a closure capture: captured
-        # arrays serialize into the program as HLO constants, which blows
-        # remote-compile request limits at real model sizes (and bloats the
-        # compile cache). As an argument only their shapes serialize.
-        encode_jit = jax.jit(encoder.encode_text)
+        if encode_fn is None:
+            params = jax.device_put(params)
+            # Params ride as a jit ARGUMENT, not a closure capture: captured
+            # arrays serialize into the program as HLO constants, which blows
+            # remote-compile request limits at real model sizes (and bloats
+            # the compile cache). As an argument only their shapes serialize.
+            encode_jit = jax.jit(encoder.encode_text)
+            encode_fn = lambda ids: encode_jit(params, ids)
 
         self.server = BatchServer(
-            lambda ids: encode_jit(params, ids),
+            encode_fn,
             item_shape=(context_len,), dtype=np.int32,
             bucket_sizes=bucket_sizes, max_wait_ms=max_wait_ms)
 
@@ -101,7 +110,7 @@ class VideoEmbedService:
     matches the offline eval path bit-for-bit."""
 
     def __init__(self, encoder, params, bucket_sizes: Sequence[int],
-                 max_wait_ms: float):
+                 max_wait_ms: float, encode_fn=None):
         import jax
 
         from fitclip_tpu.data.data_module import build_pipeline
@@ -111,13 +120,15 @@ class VideoEmbedService:
         self._pipeline = build_pipeline(encoder, train=False)
         self._num_frames = spec.pad_to_min_frames or spec.num_frames
         size = spec.image_size
-        params = jax.device_put(params)
 
-        # Params as a jit argument — see TextEmbedService.
-        encode_jit = jax.jit(encoder.encode_video)
+        if encode_fn is None:
+            params = jax.device_put(params)
+            # Params as a jit argument — see TextEmbedService.
+            encode_jit = jax.jit(encoder.encode_video)
+            encode_fn = lambda videos: encode_jit(params, videos)
 
         self.server = BatchServer(
-            lambda videos: encode_jit(params, videos),
+            encode_fn,
             item_shape=(self._num_frames, size, size, 3),
             dtype=np.uint8, bucket_sizes=bucket_sizes,
             max_wait_ms=max_wait_ms)
@@ -213,6 +224,14 @@ def _load_encoder():
         import jax
 
         jax.config.update("jax_platforms", platform)
+    cache_dir = os.environ.get("EMBED_COMPILE_CACHE")
+    if cache_dir:
+        # Persistent XLA executable cache: a restarted worker loads the
+        # bucket programs it compiled last time instead of re-compiling
+        # (minutes per Pallas program through the remote relay).
+        from fitclip_tpu.serving.export import enable_compilation_cache
+
+        enable_compilation_cache(cache_dir)
 
     name = os.environ.get("EMBED_ENCODER")
     if not name:
@@ -256,23 +275,41 @@ def _ensure_loaded():
     return _LOADED
 
 
+def _exported_encode(name: str):
+    """(encode_fn, bucket_sizes) from EMBED_EXPORT_DIR's jax.export
+    artifacts (scripts/export_serving.py), or (None, None)."""
+    export_dir = os.environ.get("EMBED_EXPORT_DIR")
+    if not export_dir:
+        return None, None
+    from fitclip_tpu.serving.export import load_exported
+
+    encode_fn, per_bucket = load_exported(export_dir, name)
+    return encode_fn, sorted(per_bucket)
+
+
 def build_service() -> TextEmbedService:
     loaded = _ensure_loaded()
-    max_batch = int(os.environ.get("EMBED_MAX_BATCH", "32"))
-    buckets = [b for b in (1, 2, 4, 8, 16, 32, 64, 128) if b <= max_batch]
+    encode_fn, buckets = _exported_encode("text")
+    if buckets is None:
+        max_batch = int(os.environ.get("EMBED_MAX_BATCH", "32"))
+        buckets = [b for b in (1, 2, 4, 8, 16, 32, 64, 128) if b <= max_batch]
     service = TextEmbedService(
         loaded.encoder, loaded.params, bucket_sizes=buckets,
-        max_wait_ms=float(os.environ.get("EMBED_MAX_WAIT_MS", "2")))
+        max_wait_ms=float(os.environ.get("EMBED_MAX_WAIT_MS", "2")),
+        encode_fn=encode_fn)
     return service.start()
 
 
 def build_video_service() -> VideoEmbedService:
     loaded = _ensure_loaded()
-    max_batch = int(os.environ.get("EMBED_MAX_VIDEO_BATCH", "8"))
-    buckets = [b for b in (1, 2, 4, 8, 16, 32) if b <= max_batch]
+    encode_fn, buckets = _exported_encode("video")
+    if buckets is None:
+        max_batch = int(os.environ.get("EMBED_MAX_VIDEO_BATCH", "8"))
+        buckets = [b for b in (1, 2, 4, 8, 16, 32) if b <= max_batch]
     service = VideoEmbedService(
         loaded.encoder, loaded.params, bucket_sizes=buckets,
-        max_wait_ms=float(os.environ.get("EMBED_MAX_WAIT_MS", "2")))
+        max_wait_ms=float(os.environ.get("EMBED_MAX_WAIT_MS", "2")),
+        encode_fn=encode_fn)
     return service.start()
 
 

@@ -1,0 +1,103 @@
+"""AOT serving artifacts (fitclip_tpu/serving/export.py): jax.export
+roundtrip parity, bucket routing, and the persistent compilation cache."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fitclip_tpu.serving.export import (enable_compilation_cache,
+                                        export_encode_fn, load_exported)
+
+
+@pytest.fixture()
+def tiny_encoder(tmp_path):
+    from fitclip_tpu.models.clip.load import load_tiny_test_encoder
+    from fitclip_tpu.models.clip.tokenizer import write_tiny_test_vocab
+
+    vocab_dir = tmp_path / "vocab"
+    vocab_dir.mkdir()
+    merges, vocab = write_tiny_test_vocab(str(vocab_dir), ["a", "cat", "video"])
+    return load_tiny_test_encoder(bpe_path=merges, vocab_path=vocab)
+
+
+def test_export_roundtrip_matches_direct_call(tiny_encoder, tmp_path):
+    loaded = tiny_encoder
+    tokenizer = loaded.encoder.get_tokenizer()
+    item = np.asarray(tokenizer(["a cat video"]))[0]
+    encode = loaded.encoder.encode_text
+
+    paths = export_encode_fn(encode, loaded.params, item, (1, 4),
+                             str(tmp_path), "text")
+    assert sorted(paths) == [1, 4]
+    assert all(os.path.exists(p) for p in paths.values())
+    # Weights live ONCE per directory, not inside each bucket artifact.
+    assert os.path.exists(os.path.join(str(tmp_path), "params.msgpack"))
+    params_bytes = os.path.getsize(os.path.join(str(tmp_path), "params.msgpack"))
+    assert all(os.path.getsize(p) < params_bytes for p in paths.values())
+
+    encode_fn, per_bucket = load_exported(str(tmp_path), "text")
+    assert sorted(per_bucket) == [1, 4]
+
+    batch = np.stack([item] * 4)
+    direct = np.asarray(
+        jax.jit(encode)(loaded.params, jnp.asarray(batch)), np.float32)
+    exported = np.asarray(encode_fn(jnp.asarray(batch)), np.float32)
+    np.testing.assert_allclose(exported, direct, atol=1e-6)
+
+    one = np.asarray(encode_fn(jnp.asarray(batch[:1])), np.float32)
+    np.testing.assert_allclose(one, direct[:1], atol=1e-6)
+
+
+def test_export_unknown_bucket_raises(tiny_encoder, tmp_path):
+    loaded = tiny_encoder
+    item = np.asarray(loaded.encoder.get_tokenizer()(["a"]))[0]
+    export_encode_fn(loaded.encoder.encode_text, loaded.params,
+                     item, (2,), str(tmp_path), "text")
+    encode_fn, _ = load_exported(str(tmp_path), "text")
+    with pytest.raises(ValueError, match="batch size 3"):
+        encode_fn(jnp.asarray(np.stack([item] * 3)))
+
+
+def test_load_exported_missing_artifacts(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_exported(str(tmp_path), "video")
+
+
+def test_text_service_serves_from_exported_artifacts(tiny_encoder, tmp_path,
+                                                     monkeypatch):
+    loaded = tiny_encoder
+    tokenizer = loaded.encoder.get_tokenizer()
+    item = np.asarray(tokenizer(["warmup"]))[0]
+    export_encode_fn(loaded.encoder.encode_text, loaded.params, item,
+                     (1, 2, 4), str(tmp_path), "text")
+
+    import demo.embed_service as es
+
+    monkeypatch.setenv("EMBED_EXPORT_DIR", str(tmp_path))
+    monkeypatch.setattr(es, "_LOADED", loaded)
+    service = es.build_service()
+    try:
+        assert service.server._buckets == (1, 2, 4)
+        texts = ["a cat", "a video", "cat video"]
+        served = service.embed_texts(texts)
+        ids = jnp.asarray(np.asarray(tokenizer(texts), np.int32))
+        direct = np.asarray(
+            jax.jit(loaded.encoder.encode_text)(loaded.params, ids), np.float32)
+        np.testing.assert_allclose(served.astype(np.float32), direct, atol=1e-6)
+    finally:
+        service.stop()
+
+
+def test_compilation_cache_populates(tmp_path):
+    cache_dir = str(tmp_path / "xla_cache")
+    enable_compilation_cache(cache_dir)
+    try:
+        x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+        np.asarray(jax.jit(lambda a: (a @ a.T).sum(axis=0) * 3.0)(x))
+        entries = os.listdir(cache_dir)
+        assert entries, "persistent compilation cache wrote no entries"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
