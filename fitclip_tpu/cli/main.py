@@ -143,6 +143,16 @@ def run(cfg: Dict[str, Any]) -> Optional[float]:
 
     maybe_initialize_distributed(cfg)
 
+    # ++compilation_cache_dir=<dir>: XLA's persistent executable cache.
+    # Re-running the same command with identical shapes loads compiled
+    # binaries instead of re-compiling — on remote-relay TPU backends a
+    # Pallas program compile takes minutes each (CLAUDE.md).
+    cache_dir = cfg.get("compilation_cache_dir")
+    if cache_dir:
+        from fitclip_tpu.serving.export import enable_compilation_cache
+
+        enable_compilation_cache(str(cache_dir))
+
     seed_everything(int(cfg.get("seed", 42)))
     command = cfg["command"]
     known = ("train", "evaluate", "validate", "test", "predict", "tune")

@@ -40,6 +40,7 @@ def enable_compilation_cache(cache_dir: str,
     import jax
 
     os.makedirs(cache_dir, exist_ok=True)
+    _reset_cache_singleton()
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_time_secs))
@@ -50,12 +51,38 @@ def enable_compilation_cache(cache_dir: str,
         pass
 
 
+def disable_compilation_cache() -> None:
+    """Turn the persistent cache back off AND drop the singleton.
+
+    Clearing only ``jax_compilation_cache_dir`` is not enough: the cache
+    object lives on pinned to its original directory, and on some jax
+    versions later compiles still consult it — reading from a directory
+    that may since have been deleted (observed as a segfault inside
+    ``compilation_cache.get_executable_and_time`` mid-test-suite)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", None)
+    _reset_cache_singleton()
+
+
+def _reset_cache_singleton() -> None:
+    # The persistent cache is a process-level singleton pinned to the first
+    # directory it initialized with; drop it so a redirect (tests, a server
+    # reconfiguring at startup) actually takes effect.
+    try:
+        from jax.experimental.compilation_cache import compilation_cache
+        compilation_cache.reset_cache()
+    except (ImportError, AttributeError):
+        pass
+
+
 PARAMS_FILE = "params.msgpack"
 
 
 def export_encode_fn(encode_fn: Callable, params, example_item: np.ndarray,
                      bucket_sizes: Sequence[int],
-                     directory: str, name: str) -> Dict[int, str]:
+                     directory: str, name: str,
+                     allow_custom_calls: Sequence[str] = ()) -> Dict[int, str]:
     """Serialize ``jit(encode_fn)`` at every bucket batch size.
 
     encode_fn: ``(params, (batch,) + item_shape) -> (batch, ...)`` device
@@ -64,6 +91,10 @@ def export_encode_fn(encode_fn: Callable, params, example_item: np.ndarray,
         written ONCE per directory as ``params.msgpack`` — shared by every
         tower/bucket exported into it.
     example_item: one input row (no batch dim) fixing shape and dtype.
+    allow_custom_calls: custom-call targets to exempt from jax.export's
+        compatibility guarantee — programs using Pallas kernels serialize
+        Mosaic custom calls, which are stable only across same-version
+        reloads; pass ("tpu_custom_call",) to export such programs.
     Returns {bucket_size: artifact_path}; artifacts are
     ``{name}_b{size}.jaxexp`` files under ``directory``.
     """
@@ -77,11 +108,15 @@ def export_encode_fn(encode_fn: Callable, params, example_item: np.ndarray,
         f.write(serialization.msgpack_serialize(params))
     params_spec = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    disabled = tuple(jax_export.DisabledSafetyCheck.custom_call(target)
+                     for target in allow_custom_calls)
     paths: Dict[int, str] = {}
     for size in bucket_sizes:
         spec = jax.ShapeDtypeStruct((int(size),) + tuple(example_item.shape),
                                     example_item.dtype)
-        exported = jax_export.export(jax.jit(encode_fn))(params_spec, spec)
+        exported = jax_export.export(jax.jit(encode_fn),
+                                     disabled_checks=list(disabled))(
+                                         params_spec, spec)
         path = os.path.join(directory, f"{name}_b{int(size)}.jaxexp")
         with open(path, "wb") as f:
             f.write(exported.serialize())
@@ -98,11 +133,15 @@ def load_exported(directory: str, name: str) -> Tuple[Callable, Dict[int, Callab
     batcher always calls at bucket sizes). Raises FileNotFoundError when no
     artifact matches.
     """
+    import jax
     from flax import serialization
     from jax import export as jax_export
 
     with open(os.path.join(directory, PARAMS_FILE), "rb") as f:
         params = serialization.msgpack_restore(f.read())
+    # On-device once: host-resident params would re-transfer the whole
+    # weight tree on EVERY bucket call.
+    params = jax.device_put(params)
 
     prefix = f"{name}_b"
     per_bucket: Dict[int, Callable] = {}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Prove the PRODUCTION serving config survives AOT export: serialize the
+int8-megakernel ViT-B/16 video tower with jax.export (Mosaic custom calls
+exempted from the compatibility check), reload it, and cosine-gate the
+reloaded program against the live encoder on the same device.
+
+Pallas programs serialize as `tpu_custom_call`s whose payload is pinned to
+the lowering version — same-version reloads (the deployment case: artifact
+built and served by one pinned environment) are exact; jax.export's default
+safety check refuses them precisely because CROSS-version stability is not
+guaranteed, hence the explicit exemption.
+
+Prints one JSON line per step. Encoder/quantization setup mirrors bench.py.
+"""
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.clip import CLIPConfig
+    from fitclip_tpu.models.clip.encoder import ClipVideoTextEncoder
+    from fitclip_tpu.models.clip.model import fold_pixel_normalization
+    from fitclip_tpu.ops.quant import quantize_clip_params
+    from fitclip_tpu.serving.export import export_encode_fn, load_exported
+
+    batch = int(os.environ.get("BENCH_CLIPS", "32"))
+    bf16_encoder = ClipVideoTextEncoder(CLIPConfig.vit_b_16(), num_frames=4,
+                                        dtype=jnp.bfloat16, fused_attention=True,
+                                        pixel_normalization_folded=True)
+    params = bf16_encoder.init_params(jax.random.PRNGKey(0))
+    params = fold_pixel_normalization(params, bf16_encoder.preprocess.mean,
+                                      bf16_encoder.preprocess.std)
+
+    encoder = ClipVideoTextEncoder(CLIPConfig.vit_b_16(), num_frames=4,
+                                   dtype=jnp.bfloat16, fused_attention=True,
+                                   pixel_normalization_folded=True,
+                                   quantized=True)
+    rng = np.random.default_rng(0)
+    video = rng.integers(0, 256, size=(batch, 4, 224, 224, 3), dtype=np.uint8)
+    calib_text = jnp.asarray(rng.integers(1, 49408, size=(32, 77)).astype(np.int32))
+    bench_params = quantize_clip_params(params)
+    bench_params = encoder.calibrate(bench_params, jnp.asarray(video[:8]),
+                                     calib_text)
+    bench_params = jax.device_put(bench_params)
+
+    direct = np.asarray(
+        jax.jit(encoder.encode_video)(bench_params, jnp.asarray(video)),
+        np.float32)
+    print(json.dumps({"step": "direct", "shape": list(direct.shape)}), flush=True)
+
+    out_dir = tempfile.mkdtemp(prefix="int8_export_")
+    paths = export_encode_fn(encoder.encode_video, bench_params,
+                             video[0], (batch,), out_dir, "video",
+                             allow_custom_calls=("tpu_custom_call",))
+    sizes = {b: os.path.getsize(p) for b, p in paths.items()}
+    print(json.dumps({"step": "export", "artifact_bytes": sizes}), flush=True)
+
+    encode_fn, _ = load_exported(out_dir, "video")
+    served = np.asarray(encode_fn(jnp.asarray(video)), np.float32)
+    cos = ((direct * served).sum(-1) /
+           (np.linalg.norm(direct, axis=-1) * np.linalg.norm(served, axis=-1)))
+    print(json.dumps({"step": "reload_call",
+                      "min_cosine_vs_direct": round(float(cos.min()), 8)}),
+          flush=True)
+    assert cos.min() > 0.9999, cos.min()
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fitclip_tpu.serving.export import (enable_compilation_cache,
+from fitclip_tpu.serving.export import (disable_compilation_cache,
+                                        enable_compilation_cache,
                                         export_encode_fn, load_exported)
 
 
@@ -100,4 +101,23 @@ def test_compilation_cache_populates(tmp_path):
         entries = os.listdir(cache_dir)
         assert entries, "persistent compilation cache wrote no entries"
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        # Dropping the singleton matters: pytest deletes tmp_path afterwards
+        # and a live cache pointed at it can crash later unrelated compiles.
+        disable_compilation_cache()
+
+
+def test_cli_compilation_cache_knob(tmp_path):
+    """++compilation_cache_dir wires the persistent cache through run()."""
+    from fitclip_tpu.cli.main import run
+
+    cache_dir = str(tmp_path / "cli_cache")
+    try:
+        # Unknown command still exits early — but AFTER the cache config is
+        # applied, which is all this knob test needs; a jit afterwards
+        # lands in the configured directory.
+        with pytest.raises(SystemExit):
+            run({"command": "bogus", "compilation_cache_dir": cache_dir})
+        np.asarray(jax.jit(lambda a: a * 2 + 1)(jnp.arange(256.0).reshape(16, 16)))
+        assert os.listdir(cache_dir)
+    finally:
+        disable_compilation_cache()
