@@ -72,7 +72,8 @@ def _shard_mapped(step, encoder, mesh, num_batch_args: int):
     shard instead. Params replicate; batch args shard on the leading axis
     (runners pad batches to mesh divisibility); encode steps are
     per-example, so shard_map is numerics-preserving."""
-    uses_pallas = (getattr(encoder, "fused_block", False)
+    uses_pallas = (getattr(encoder, "uses_pallas", False)
+                   or getattr(encoder, "fused_block", False)
                    or getattr(encoder, "fused_attention", False))
     if not uses_pallas or mesh.devices.size == 1:
         return step

@@ -129,6 +129,13 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
             max_tokens=max_tokens,
         )
 
+    @property
+    def uses_pallas(self) -> bool:
+        """The fast eval forward routes the s2d stem through a Pallas kernel
+        on TPU (ops/s3dg_stem.py) — multi-chip eval must shard_map it
+        (GSPMD cannot partition a pallas_call, cli/runners.py)."""
+        return self.fast and jax.default_backend() == "tpu"
+
     def init_params(self, rng):
         rng_v, rng_t = jax.random.split(rng)
         video = self.video_model.init(

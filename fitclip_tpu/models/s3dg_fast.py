@@ -125,22 +125,42 @@ _BLOCK_WIDTHS = {
 }
 
 
+def _stem_kernel_path(params, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """space_to_depth + conv1 + BN + ReLU + the first max pool, all inside
+    the Pallas stem kernel (ops/s3dg_stem.py). Returns NDHWC at 1/4 res."""
+    from fitclip_tpu.ops.s3dg_stem import (pack_stem_weights, s2d_transpose,
+                                           s3dg_stem_conv)
+
+    kern, bias = _folded(params["conv1"]["conv1"], params["conv1"]["bn1"], dtype)
+    w2, bias_b, sel = pack_stem_weights(kern, bias, dtype)
+    y = s3dg_stem_conv(s2d_transpose(x), w2, bias_b, sel, ws=x.shape[3] // 2)
+    return y.transpose(0, 1, 2, 4, 3)  # (B, Ts, Hp, Wp, 64) NDHWC
+
+
 def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
                     use_space_to_depth: bool = True,
-                    use_last_layer: bool = True) -> jnp.ndarray:
+                    use_last_layer: bool = True,
+                    stem_kernel: bool = None) -> jnp.ndarray:
     """Drop-in for `S3DG(...).apply({"params": params}, video)` at eval.
 
     video: (B, T, H, W, 3) raw pixels; returns (B, 512) embeddings.
+    stem_kernel=None routes the s2d stem through the Pallas conv kernel on
+    TPU (ops/s3dg_stem.py); True forces it (interpret mode off-TPU).
     """
+    if stem_kernel is None:
+        stem_kernel = use_space_to_depth and jax.default_backend() == "tpu"
     x = video.astype(dtype)
     conv = partial(_st_conv, dtype=dtype)
-    if use_space_to_depth:
-        x = space_to_depth(x)
-        x = conv(params["conv1"], x, (2, 4, 4), stride=1, padding=(1, 2, 2))
-        x = x[:, 1:, 1:, 1:, :]
+    if stem_kernel and use_space_to_depth:
+        x = _stem_kernel_path(params, x, dtype)
     else:
-        x = conv(params["conv1"], x, (3, 7, 7), stride=2, padding=(1, 3, 3))
-    x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
+        if use_space_to_depth:
+            x = space_to_depth(x)
+            x = conv(params["conv1"], x, (2, 4, 4), stride=1, padding=(1, 2, 2))
+            x = x[:, 1:, 1:, 1:, :]
+        else:
+            x = conv(params["conv1"], x, (3, 7, 7), stride=2, padding=(1, 3, 3))
+        x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
     x = conv(params["conv_2b"], x, 1)
     x = conv(params["conv_2c"], x, 3, padding=1, separable=True)
     x = _self_gating(params["gating"], x, dtype)

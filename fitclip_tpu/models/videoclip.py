@@ -271,6 +271,12 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
             max_tokens=max_tokens,
         )
 
+    @property
+    def uses_pallas(self) -> bool:
+        """Fast S3DG routes its stem through a Pallas kernel on TPU
+        (ops/s3dg_stem.py) — multi-chip eval must shard_map it."""
+        return self.fast and jax.default_backend() == "tpu"
+
     def init_params(self, rng):
         rng_s, rng_m = jax.random.split(rng)
         cfg = self.config

@@ -1,0 +1,202 @@
+"""Pallas kernel for the S3DG space-to-depth stem (inference).
+
+The stem (space_to_depth -> Conv3D(2,4,4)/64 -> BN -> ReLU -> 3x3/2 max
+pool, reference aligner/encoder/s3dg.py:183-189) is the single most
+expensive piece of the S3DG eval forward. The XLA decomposition
+(scripts/bench_s3dg_stem3.py, batch 16x16f x 224^2, v5e) measures
+~10.2 ms: the s2d tensor's NDHWC layout puts 24 channels on the lane
+(minor) dim so the conv runs ~41 TFLOP/s on 24/128-occupied tiles, and the
+strided-lane max pool costs another ~4.4 ms of reduce_window relayouts in
+ANY layout.
+
+This kernel computes conv + BN bias + ReLU + the ENTIRE first max pool in
+one pallas_call, with a lane layout the MXU and VPU like:
+
+  * input arrives s2d-TRANSPOSED as (B, Ts+1, Hs, C=32, W->128 lanes) —
+    channels on sublanes, width on lanes (zero-padded: lanes >= Ws, channel
+    rows 24..31, and one trailing all-zero time row so the t+1 tap needs no
+    bounds check);
+  * the four width-tap shifts {+1, 0, -1, -2} are circular lane rotates.
+    Mosaic's rotate is 32-bit-only, so bf16 tiles are bitcast to int32
+    (packing sublane pairs), rotated natively, and bitcast back — pure bit
+    movement, no precision change. The zero lanes past Ws make the
+    wraparound act as the conv's width zero padding. Rolled taps land in a
+    VMEM slab (2, Hs+3, 4*32, 128) whose first and last-two h rows are zero
+    (the conv's height padding — asymmetric 1 low / 2 high because of the
+    reference's [1:] output slice);
+  * each conv row h is two exact matmuls
+    (64, 512) @ slab[ti, h:h+4].reshape(512, 128) — contraction over
+    (dh, dw, c), fp32 accumulation — plus bias + ReLU + a zero-mask on the
+    pad lanes;
+  * the 3x3/2 TF-'SAME' max pool fuses in-kernel: width-max via two f32
+    lane rotates (wmax[w] = max(x[w..w+2])) cached per row in a VMEM
+    ring, height-max over three cached rows, and the stride-2 lane
+    selection as a tiny 0/1 selection matmul (exact: one product per
+    output). max commutes with monotonic bf16 rounding, so pooling fp32
+    activations and casting once is bit-identical to the XLA path's
+    bf16 pool.
+
+Output is pooled (B, Ts, Hs/2, 64, Ws/2), channels-on-sublanes — 8x less
+HBM than the unpooled conv output; the caller transposes the quarter-res
+tensor back to NDHWC (models/s3dg_fast.py).
+
+Weight/bias layouts are precomputed by `pack_stem_weights` from the same
+folded (kernel, bias) pair the XLA path uses, so numerics differ only by
+fp32-accumulation order (parity: tests/test_s3dg_stem.py).
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_C_PAD = 32  # s2d channels (24) padded to a full sublane group
+
+
+def s2d_transpose(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, W, C) -> (B, T/2 + 1, H/2, 8C->32, 128) kernel input.
+
+    Same (t2, h2, w2, c) channel order as models/s3dg.py:space_to_depth, but
+    with channels on the second-minor dim and width on lanes, zero-padded:
+    lanes [W/2, 128), channel rows [8C, 32), and one all-zero trailing time
+    row (the stem's t+1 tap at the clip end).
+    """
+    b, t, h, w, c = x.shape
+    x = x.reshape(b, t // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 6, 7, 5)
+    x = x.reshape(b, t // 2, h // 2, 8 * c, w // 2)
+    return jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, _C_PAD - 8 * c),
+                       (0, 128 - w // 2)))
+
+
+def pack_stem_weights(kernel: jnp.ndarray, bias: jnp.ndarray,
+                      dtype) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Folded conv kernel (2, 4, 4, 24, 64) THWIO + bias (64,) ->
+    ((2, 64, 512) matmul weights, (64, 128) fp32 broadcast bias,
+    (128, 128) stride-2 lane-selection matrix)."""
+    kt, kh, kw, c_in, c_out = kernel.shape
+    k = jnp.pad(kernel.astype(jnp.float32),
+                ((0, 0), (0, 0), (0, 0), (0, _C_PAD - c_in), (0, 0)))
+    w2 = k.reshape(kt, kh * kw * _C_PAD, c_out).transpose(0, 2, 1).astype(dtype)
+    bias_b = jnp.broadcast_to(bias.astype(jnp.float32)[:, None], (c_out, 128))
+    sel = jnp.zeros((128, 128), dtype).at[2 * jnp.arange(64), jnp.arange(64)].set(1)
+    return w2, bias_b, sel
+
+
+def _lane_roll(v: jnp.ndarray, shift: int, interpret: bool) -> jnp.ndarray:
+    """Circular roll of the minor (lane) dim by a static shift.
+
+    Mosaic's tpu.dynamic_rotate rejects non-32-bit data, so bf16 tiles are
+    bitcast to int32 (sublane pairs pack; the lane dim is untouched),
+    rotated, and bitcast back.
+    """
+    shift = shift % 128
+    if shift == 0:
+        return v
+    if interpret:
+        return jnp.roll(v, shift, axis=v.ndim - 1)
+    if v.dtype == jnp.bfloat16:
+        packed = pltpu.bitcast(v, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(packed, shift, v.ndim - 1), v.dtype)
+    return pltpu.roll(v, shift, v.ndim - 1)
+
+
+def _stem_kernel(x0_ref, x1_ref, w_ref, b_ref, s_ref, o_ref, slab_ref,
+                 wmax_ref, *, hs: int, ws: int, interpret: bool):
+    # --- tap slab: lane-rolled copies of the two time rows ---------------
+    # Slab h layout: row 0 zero (the h-1 tap at h=0), rows 1..hs the input,
+    # rows hs+1/hs+2 zero (the h+1/h+2 taps at h=hs-1 — the [1:] output
+    # slice makes the height padding asymmetric: 1 low, 2 high).
+    zero_rows = jnp.zeros((2, 4 * _C_PAD, 128), slab_ref.dtype)
+    for ti, x_ref in enumerate((x0_ref, x1_ref)):
+        slab_ref[ti, 0:1] = zero_rows[:1]
+        slab_ref[ti, hs + 1:hs + 3] = zero_rows
+        x = x_ref[0, 0]  # (hs, 32, 128)
+        for dw in range(4):
+            # Output w reads input lane w + dw - 1.
+            shifted = _lane_roll(x, 1 - dw, interpret)
+            slab_ref[ti, 1:hs + 1, dw * _C_PAD:(dw + 1) * _C_PAD, :] = shifted
+
+    w0 = w_ref[0]  # (64, 512)
+    w1 = w_ref[1]
+    bias = b_ref[...]        # (64, 128) fp32
+    sel = s_ref[...]         # (128, 128) stride-2 selection
+    c_out = bias.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c_out, 128), 1)
+    dn = (((1,), (0,)), ((), ()))
+
+    # --- conv rows + width max into the ring --------------------------
+    def conv_row(h, carry):
+        p0 = slab_ref[0, pl.ds(h, 4)].reshape(4 * 4 * _C_PAD, 128)
+        p1 = slab_ref[1, pl.ds(h, 4)].reshape(4 * 4 * _C_PAD, 128)
+        acc = jax.lax.dot_general(w0, p0, dn, preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(w1, p1, dn,
+                                        preferred_element_type=jnp.float32)
+        act = jnp.maximum(acc + bias, 0.0)
+        # Zero the pad lanes (>= ws): they hold wrapped-tap garbage, and 0
+        # is the pool's TF-'SAME' pad value for post-ReLU activations.
+        act = jnp.where(lane < ws, act, 0.0)
+        m = jnp.maximum(act, _lane_roll(act, -1, interpret))
+        m = jnp.maximum(m, _lane_roll(act, -2, interpret))
+        wmax_ref[h] = m.astype(wmax_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, hs, conv_row, 0)
+    wmax_ref[hs] = jnp.zeros((c_out, 128), wmax_ref.dtype)  # height pad row
+
+    # --- height max + stride-2 lane selection ------------------------
+    def pool_row(i, carry):
+        hm = jnp.max(wmax_ref[pl.ds(2 * i, 3)], axis=0)  # (64, 128)
+        out = jax.lax.dot_general(hm, sel, dn,
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, 0, i] = out[:, :ws // 2].astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, hs // 2, pool_row, 0)
+
+
+def s3dg_stem_conv(x: jnp.ndarray, w2: jnp.ndarray, bias_b: jnp.ndarray,
+                   sel: jnp.ndarray, ws: int,
+                   interpret: Optional[bool] = None) -> jnp.ndarray:
+    """x: s2d_transpose output (B, Ts+1, Hs, 32, 128); ws = W/2 (the valid
+    lane count). Returns the stem's pooled ReLU(conv+bias) as
+    (B, Ts, Hs/2, 64, Ws/2) with channels on sublanes."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, ts1, hs, c_pad, lanes = x.shape
+    ts = ts1 - 1
+    assert c_pad == _C_PAD and lanes == 128 and ws <= 126
+    assert hs % 2 == 0 and ws % 2 == 0
+    c_out = w2.shape[1]
+    kernel = functools.partial(_stem_kernel, hs=hs, ws=ws, interpret=interpret)
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(b, ts),
+        in_specs=[
+            pl.BlockSpec((1, 1, hs, c_pad, 128), lambda i, t: (i, t, 0, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((1, 1, hs, c_pad, 128),
+                         lambda i, t: (i, t + 1, 0, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((2, c_out, 4 * 4 * _C_PAD), lambda i, t: (0, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((c_out, 128), lambda i, t: (0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((128, 128), lambda i, t: (0, 0),
+                         memory_space=memory_space),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hs // 2, c_out, ws // 2),
+                               lambda i, t: (i, t, 0, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((b, ts, hs // 2, c_out, ws // 2),
+                                       x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, hs + 3, 4 * _C_PAD, 128), x.dtype),
+                        pltpu.VMEM((hs + 1, c_out, 128), x.dtype)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(x, x, w2, bias_b, sel)

@@ -42,15 +42,16 @@ def main() -> None:
     params = jax.device_put(jax.tree_util.tree_unflatten(treedef, out))
 
     cases = {"flax": lambda p, v: model.apply({"params": p}, v),
-             "fast": lambda p, v: s3dg_fast_apply(p, v)}
+             "fast": lambda p, v: s3dg_fast_apply(p, v, stem_kernel=False),
+             "stem": lambda p, v: s3dg_fast_apply(p, v, stem_kernel=True)}
     selected = sys.argv[1:] or list(cases)
 
-    if set(selected) >= {"flax", "fast"}:
+    for name in [n for n in ("fast", "stem") if n in selected and "flax" in selected]:
         a = np.asarray(jax.jit(cases["flax"])(params, video), np.float32)
-        b = np.asarray(jax.jit(cases["fast"])(params, video), np.float32)
+        b = np.asarray(jax.jit(cases[name])(params, video), np.float32)
         cos = ((a * b).sum(-1) /
                (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9))
-        print(json.dumps({"check": "fast_vs_flax",
+        print(json.dumps({"check": f"{name}_vs_flax",
                           "min_cosine": round(float(cos.min()), 6)}), flush=True)
         assert cos.min() > 0.999, cos.min()
 
