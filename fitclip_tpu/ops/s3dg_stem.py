@@ -175,6 +175,139 @@ def _stem_kernel(x0_ref, x1_ref, w_ref, b_ref, s_ref, o_ref, slab_ref,
     jax.lax.fori_loop(0, hs // 2, pool_row, 0)
 
 
+def pack_stem_weights_v2(kernel: jnp.ndarray, bias: jnp.ndarray, dtype,
+                         rows_per_iter: int = 2
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Row-batched weights for the v2 kernel (time-stacked slab).
+
+    The v2 slab stacks BOTH time taps on the channel/sublane dim —
+    slab[h, ti*128 + dw*32 + c] — so a conv row is ONE matmul with a
+    1024-deep (dh, ti, dw, c) contraction, and R=rows_per_iter consecutive
+    output rows batch into one (R*64, (R+3)*256) @ ((R+3)*256, 128) matmul:
+    row block r reads the base weights at column offset r*256 (one slab-row
+    stride), zeros elsewhere. Sublane occupancy goes 64 -> R*64 for a
+    (R*256)/(R*64*4) = (R+3)/(4R) FLOP inflation (1.25x at R=2).
+    """
+    kt, kh, kw, c_in, c_out = kernel.shape
+    k = jnp.pad(kernel.astype(jnp.float32),
+                ((0, 0), (0, 0), (0, 0), (0, _C_PAD - c_in), (0, 0)))
+    # contraction ordering (dh, ti, dw, c) to match slab[h:h+R+3].reshape
+    base = k.transpose(1, 0, 2, 3, 4).reshape(kh * kt * kw * _C_PAD, c_out).T
+    r = rows_per_iter
+    cols = kh * kt * kw * _C_PAD  # 1024
+    wide = jnp.zeros((r * c_out, (r + 3) * 256), jnp.float32)
+    for i in range(r):
+        wide = wide.at[i * c_out:(i + 1) * c_out,
+                       i * 256:i * 256 + cols].set(base)
+    bias_b = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],
+                              (c_out, 128))
+    bias_b = jnp.tile(bias_b, (r, 1))
+    sel = jnp.zeros((128, 128), dtype).at[2 * jnp.arange(64),
+                                          jnp.arange(64)].set(1)
+    return wide.astype(dtype), bias_b, sel
+
+
+def _stem_kernel_v2(x0_ref, x1_ref, w_ref, b_ref, s_ref, o_ref, slab_ref,
+                    wmax_ref, *, hs: int, ws: int, rpi: int, pc: int,
+                    interpret: bool):
+    # --- tap slab: lane-rolled copies, BOTH time rows channel-stacked -----
+    c_out = b_ref.shape[0] // rpi
+    zero_rows = jnp.zeros((2, 2 * 4 * _C_PAD, 128), slab_ref.dtype)
+    slab_ref[0:1] = zero_rows[:1]
+    slab_ref[hs + 1:hs + 3] = zero_rows
+    for ti, x_ref in enumerate((x0_ref, x1_ref)):
+        x = x_ref[0, 0]  # (hs, 32, 128)
+        for dw in range(4):
+            shifted = _lane_roll(x, 1 - dw, interpret)
+            base = ti * 4 * _C_PAD + dw * _C_PAD
+            slab_ref[1:hs + 1, base:base + _C_PAD, :] = shifted
+
+    w = w_ref[...]           # (rpi*64, (rpi+3)*256)
+    bias = b_ref[...]        # (rpi*64, 128) fp32
+    sel = s_ref[...]         # (128, 128) stride-2 selection
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rpi * c_out, 128), 1)
+    dn = (((1,), (0,)), ((), ()))
+
+    # --- conv rows (rpi at a time) + width max into the ring --------------
+    def conv_rows(i, carry):
+        h = i * rpi
+        patch = slab_ref[pl.ds(h, rpi + 3)].reshape((rpi + 3) * 256, 128)
+        acc = jax.lax.dot_general(w, patch, dn,
+                                  preferred_element_type=jnp.float32)
+        act = jnp.maximum(acc + bias, 0.0)
+        act = jnp.where(lane < ws, act, 0.0)
+        m = jnp.maximum(act, _lane_roll(act, -1, interpret))
+        m = jnp.maximum(m, _lane_roll(act, -2, interpret))
+        wmax_ref[pl.ds(h, rpi)] = m.reshape(rpi, c_out, 128).astype(
+            wmax_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, hs // rpi, conv_rows, 0)
+    wmax_ref[hs] = jnp.zeros((c_out, 128), wmax_ref.dtype)  # height pad row
+
+    # --- height max + stride-2 lane selection, pc pool rows per iter ------
+    def pool_rows(i, carry):
+        base = i * pc
+        rows = wmax_ref[pl.ds(2 * base, 2 * pc + 1)]  # (2pc+1, 64, 128)
+        m1 = jnp.maximum(rows[0:2 * pc], rows[1:2 * pc + 1])
+        hm = m1.reshape(pc, 2, c_out, 128).max(axis=1)  # (pc, 64, 128)
+        out = jax.lax.dot_general(hm.reshape(pc * c_out, 128), sel, dn,
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, 0, pl.ds(base, pc)] = out.reshape(
+            pc, c_out, 128)[:, :, :ws // 2].astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, (hs // 2) // pc, pool_rows, 0)
+
+
+def s3dg_stem_conv_v2(x: jnp.ndarray, wide: jnp.ndarray, bias_b: jnp.ndarray,
+                      sel: jnp.ndarray, ws: int,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
+    """v2 of s3dg_stem_conv: same contract, time-stacked slab + row-batched
+    matmuls + chunked pooling. `wide`/`bias_b` come from
+    pack_stem_weights_v2; rows_per_iter is recovered from their shapes."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, ts1, hs, c_pad, lanes = x.shape
+    ts = ts1 - 1
+    assert c_pad == _C_PAD and lanes == 128 and ws <= 126
+    assert hs % 2 == 0 and ws % 2 == 0
+    rpi = wide.shape[1] // 256 - 3
+    c_out = wide.shape[0] // rpi
+    assert hs % rpi == 0, (hs, rpi)
+    pc = next(p for p in (8, 4, 2, 1) if (hs // 2) % p == 0)
+    kernel = functools.partial(_stem_kernel_v2, hs=hs, ws=ws, rpi=rpi, pc=pc,
+                               interpret=interpret)
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(b, ts),
+        in_specs=[
+            pl.BlockSpec((1, 1, hs, c_pad, 128), lambda i, t: (i, t, 0, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((1, 1, hs, c_pad, 128),
+                         lambda i, t: (i, t + 1, 0, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec(wide.shape, lambda i, t: (0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec(bias_b.shape, lambda i, t: (0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((128, 128), lambda i, t: (0, 0),
+                         memory_space=memory_space),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hs // 2, c_out, ws // 2),
+                               lambda i, t: (i, t, 0, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((b, ts, hs // 2, c_out, ws // 2),
+                                       x.dtype),
+        scratch_shapes=[pltpu.VMEM((hs + 3, 2 * 4 * _C_PAD, 128), x.dtype),
+                        pltpu.VMEM((hs + 1, c_out, 128), x.dtype)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(x, x, wide, bias_b, sel)
+
+
 def s3dg_stem_conv(x: jnp.ndarray, w2: jnp.ndarray, bias_b: jnp.ndarray,
                    sel: jnp.ndarray, ws: int,
                    interpret: Optional[bool] = None) -> jnp.ndarray:

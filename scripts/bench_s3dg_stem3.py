@@ -27,8 +27,10 @@ def main() -> None:
     from fitclip_tpu.models.s3dg import max_pool_3d_tf_padding, space_to_depth
     from fitclip_tpu.models.s3dg_fast import (_folded, _st_conv,
                                               _stem_kernel_path)
-    from fitclip_tpu.ops.s3dg_stem import (pack_stem_weights, s2d_transpose,
-                                           s3dg_stem_conv)
+    from fitclip_tpu.ops.s3dg_stem import (pack_stem_weights,
+                                           pack_stem_weights_v2,
+                                           s2d_transpose, s3dg_stem_conv,
+                                           s3dg_stem_conv_v2)
     from fitclip_tpu.utils.benchmarking import sustained_seconds_per_step
     from tests.test_s3dg_stem import _random_stem_params
 
@@ -50,8 +52,19 @@ def main() -> None:
                      padding=(1, 2, 2), dtype=dtype)[:, 1:, 1:, 1:, :]
         return max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
 
+    v2_packs = {r: pack_stem_weights_v2(kern, bias, dtype, rows_per_iter=r)
+                for r in (1, 2, 4, 8)}
+
+    def kcore2(x, r):
+        w, b, s = v2_packs[r]
+        return s3dg_stem_conv_v2(x, w, b, s, ws=112)
+
     cases = {
         "xla": lambda v: xla_stem(params, v),
+        "kcore2_r1": lambda x: kcore2(x, 1),
+        "kcore2_r2": lambda x: kcore2(x, 2),
+        "kcore2_r4": lambda x: kcore2(x, 4),
+        "kcore2_r8": lambda x: kcore2(x, 8),
         "kern": lambda v: _stem_kernel_path(params, v, dtype),
         "relayout": s2d_transpose,
         "kcore": lambda x: s3dg_stem_conv(x, w2, bias_b, sel, ws=112),
@@ -61,7 +74,9 @@ def main() -> None:
                                     dtype=dtype)[:, 1:, 1:, 1:, :],
     }
     inputs = {"xla": video, "kern": video, "relayout": video,
-              "kcore": xt, "xrelay": video, "xconv": xs2d}
+              "kcore": xt, "xrelay": video, "xconv": xs2d,
+              "kcore2_r1": xt, "kcore2_r2": xt, "kcore2_r4": xt,
+              "kcore2_r8": xt}
 
     selected = sys.argv[1:] or list(cases)
     for name in selected:
