@@ -128,17 +128,25 @@ _BLOCK_WIDTHS = {
 def _stem_kernel_path(params, x: jnp.ndarray, dtype) -> jnp.ndarray:
     """space_to_depth + conv1 + BN + ReLU + the first max pool, all inside
     the Pallas stem kernel (ops/s3dg_stem.py). Returns NDHWC at 1/4 res."""
-    from fitclip_tpu.ops.s3dg_stem import (pack_stem_weights_v2,
-                                           s2d_transpose, s3dg_stem_conv_v2)
+    import os
+
+    from fitclip_tpu.ops import s3dg_stem as _stem
 
     kern, bias = _folded(params["conv1"]["conv1"], params["conv1"]["bn1"], dtype)
     # rows_per_iter=4 measured best on v5e (3.90 ms vs 4.07 at r2 / 5.14 at
     # r1, scripts/bench_s3dg_stem3.py); fall back to a divisor of Hs for
-    # non-multiple-of-8 input heights.
+    # non-multiple-of-8 input heights. v3 (persistent two-slot slab: the
+    # time tap written at step t-1 is reused in place, so each step
+    # lane-rolls and fetches only the NEW row) measured 3.99 -> 2.91 ms at
+    # rows_per_iter=4 (scripts/bench_s3dg_stem3.py, v5e) and is the
+    # default; S3DG_STEM_V=2 pins the previous kernel.
+    version = os.environ.get("S3DG_STEM_V", "3")
+    pack, conv = ((_stem.pack_stem_weights_v3, _stem.s3dg_stem_conv_v3)
+                  if version == "3"
+                  else (_stem.pack_stem_weights_v2, _stem.s3dg_stem_conv_v2))
     rpi = next(r for r in (4, 2, 1) if (x.shape[2] // 2) % r == 0)
-    w2, bias_b, sel = pack_stem_weights_v2(kern, bias, dtype, rows_per_iter=rpi)
-    y = s3dg_stem_conv_v2(s2d_transpose(x), w2, bias_b, sel,
-                          ws=x.shape[3] // 2)
+    w2, bias_b, sel = pack(kern, bias, dtype, rows_per_iter=rpi)
+    y = conv(_stem.s2d_transpose(x), w2, bias_b, sel, ws=x.shape[3] // 2)
     return y.transpose(0, 1, 2, 4, 3)  # (B, Ts, Hp, Wp, 64) NDHWC
 
 

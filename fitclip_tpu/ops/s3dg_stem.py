@@ -260,6 +260,159 @@ def _stem_kernel_v2(x0_ref, x1_ref, w_ref, b_ref, s_ref, o_ref, slab_ref,
     jax.lax.fori_loop(0, (hs // 2) // pc, pool_rows, 0)
 
 
+def pack_stem_weights_v3(kernel: jnp.ndarray, bias: jnp.ndarray, dtype,
+                         rows_per_iter: int = 4
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Row-batched per-time-tap weights for the v3 kernel (persistent slab).
+
+    v3 keeps the two time taps in SEPARATE slab slots (leading scratch dim,
+    as v1) so a slot survives into the next grid step — step t reuses the
+    row it wrote at step t-1 and copies only row t+1. A conv row block is
+    then TWO matmuls (one per tap; the ti-block weights stay static while
+    the slot index rotates) instead of v2's single 1024-deep one. Returns
+    (wide (2, R*64, (R+3)*128), bias (R*64, 128) fp32, sel (128, 128))."""
+    kt, kh, kw, c_in, c_out = kernel.shape
+    k = jnp.pad(kernel.astype(jnp.float32),
+                ((0, 0), (0, 0), (0, 0), (0, _C_PAD - c_in), (0, 0)))
+    # per-tap base (c_out, kh*kw*_C_PAD): contraction order (dh, dw, c)
+    base = k.reshape(kt, kh * kw * _C_PAD, c_out).transpose(0, 2, 1)
+    r = rows_per_iter
+    cols = kh * kw * _C_PAD  # 512
+    wide = jnp.zeros((kt, r * c_out, (r + 3) * kw * _C_PAD), jnp.float32)
+    for i in range(r):
+        wide = wide.at[:, i * c_out:(i + 1) * c_out,
+                       i * kw * _C_PAD:i * kw * _C_PAD + cols].set(base)
+    bias_b = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],
+                              (c_out, 128))
+    bias_b = jnp.tile(bias_b, (r, 1))
+    sel = jnp.zeros((128, 128), dtype).at[2 * jnp.arange(64),
+                                          jnp.arange(64)].set(1)
+    return wide.astype(dtype), bias_b, sel
+
+
+def _stem_kernel_v3(x0_ref, x1_ref, w_ref, b_ref, s_ref, o_ref, slab_ref,
+                    wmax_ref, *, hs: int, ws: int, rpi: int, pc: int,
+                    interpret: bool):
+    t = pl.program_id(1)
+    c_out = b_ref.shape[0] // rpi
+    row_c = 4 * _C_PAD  # 128 slab channels per (slot, h) row
+
+    # --- persistent tap slab ----------------------------------------------
+    # Slot p holds time row r with r % 2 == p. Step t needs rows t (written
+    # by step t-1, or here when t == 0) and t+1 (written now). Zero h-pad
+    # rows are written once per clip and never overwritten.
+    @pl.when(t == 0)
+    def _():
+        zero_rows = jnp.zeros((2, row_c, 128), slab_ref.dtype)
+        for ti in range(2):
+            slab_ref[ti, 0:1] = zero_rows[:1]
+            slab_ref[ti, hs + 1:hs + 3] = zero_rows
+        x = x0_ref[0, 0]
+        for dw in range(4):
+            slab_ref[0, 1:hs + 1, dw * _C_PAD:(dw + 1) * _C_PAD, :] = (
+                _lane_roll(x, 1 - dw, interpret))
+
+    slot_new = (t + 1) % 2
+    x = x1_ref[0, 0]
+    for dw in range(4):
+        shifted = _lane_roll(x, 1 - dw, interpret)
+        slab_ref[slot_new, 1:hs + 1,
+                 pl.ds(dw * _C_PAD, _C_PAD), :] = shifted
+
+    wa = w_ref[0]            # (rpi*64, (rpi+3)*128) — the row-t tap
+    wb = w_ref[1]            # the row-(t+1) tap
+    bias = b_ref[...]        # (rpi*64, 128) fp32
+    sel = s_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rpi * c_out, 128), 1)
+    dn = (((1,), (0,)), ((), ()))
+    slot_a = t % 2
+
+    # --- conv rows (rpi at a time) + width max into the ring --------------
+    def conv_rows(i, carry):
+        h = i * rpi
+        pa = slab_ref[slot_a, pl.ds(h, rpi + 3)].reshape((rpi + 3) * row_c, 128)
+        pb = slab_ref[slot_new, pl.ds(h, rpi + 3)].reshape((rpi + 3) * row_c, 128)
+        acc = jax.lax.dot_general(wa, pa, dn,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(wb, pb, dn,
+                                        preferred_element_type=jnp.float32)
+        act = jnp.maximum(acc + bias, 0.0)
+        act = jnp.where(lane < ws, act, 0.0)
+        m = jnp.maximum(act, _lane_roll(act, -1, interpret))
+        m = jnp.maximum(m, _lane_roll(act, -2, interpret))
+        wmax_ref[pl.ds(h, rpi)] = m.reshape(rpi, c_out, 128).astype(
+            wmax_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, hs // rpi, conv_rows, 0)
+    wmax_ref[hs] = jnp.zeros((c_out, 128), wmax_ref.dtype)  # height pad row
+
+    # --- height max + stride-2 lane selection, pc pool rows per iter ------
+    def pool_rows(i, carry):
+        base = i * pc
+        rows = wmax_ref[pl.ds(2 * base, 2 * pc + 1)]  # (2pc+1, 64, 128)
+        m1 = jnp.maximum(rows[0:2 * pc], rows[1:2 * pc + 1])
+        hm = m1.reshape(pc, 2, c_out, 128).max(axis=1)  # (pc, 64, 128)
+        out = jax.lax.dot_general(hm.reshape(pc * c_out, 128), sel, dn,
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, 0, pl.ds(base, pc)] = out.reshape(
+            pc, c_out, 128)[:, :, :ws // 2].astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, (hs // 2) // pc, pool_rows, 0)
+
+
+def s3dg_stem_conv_v3(x: jnp.ndarray, wide: jnp.ndarray, bias_b: jnp.ndarray,
+                      sel: jnp.ndarray, ws: int,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
+    """v3 of s3dg_stem_conv: persistent two-slot slab — each grid step
+    lane-rolls only the NEW time row (4 copies instead of 8) and fetches
+    only that row from HBM (the t tap was written by step t-1). Same
+    contract as v1/v2; `wide` comes from pack_stem_weights_v3."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, ts1, hs, c_pad, lanes = x.shape
+    ts = ts1 - 1
+    assert c_pad == _C_PAD and lanes == 128 and ws <= 126
+    assert hs % 2 == 0 and ws % 2 == 0
+    rpi = wide.shape[2] // (4 * _C_PAD) - 3
+    c_out = wide.shape[1] // rpi
+    assert hs % rpi == 0, (hs, rpi)
+    pc = next(p for p in (8, 4, 2, 1) if (hs // 2) % p == 0)
+    kernel = functools.partial(_stem_kernel_v3, hs=hs, ws=ws, rpi=rpi, pc=pc,
+                               interpret=interpret)
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(b, ts),
+        in_specs=[
+            # Row 0 only (read at t == 0): constant-in-t index map, so the
+            # block is fetched once per clip instead of per step.
+            pl.BlockSpec((1, 1, hs, c_pad, 128), lambda i, t: (i, 0, 0, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((1, 1, hs, c_pad, 128),
+                         lambda i, t: (i, t + 1, 0, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec(wide.shape, lambda i, t: (0, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec(bias_b.shape, lambda i, t: (0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((128, 128), lambda i, t: (0, 0),
+                         memory_space=memory_space),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hs // 2, c_out, ws // 2),
+                               lambda i, t: (i, t, 0, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((b, ts, hs // 2, c_out, ws // 2),
+                                       x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, hs + 3, 4 * _C_PAD, 128), x.dtype),
+                        pltpu.VMEM((hs + 1, c_out, 128), x.dtype)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(x, x, wide, bias_b, sel)
+
+
 def s3dg_stem_conv_v2(x: jnp.ndarray, wide: jnp.ndarray, bias_b: jnp.ndarray,
                       sel: jnp.ndarray, ws: int,
                       interpret: Optional[bool] = None) -> jnp.ndarray:

@@ -29,8 +29,10 @@ def main() -> None:
                                               _stem_kernel_path)
     from fitclip_tpu.ops.s3dg_stem import (pack_stem_weights,
                                            pack_stem_weights_v2,
+                                           pack_stem_weights_v3,
                                            s2d_transpose, s3dg_stem_conv,
-                                           s3dg_stem_conv_v2)
+                                           s3dg_stem_conv_v2,
+                                           s3dg_stem_conv_v3)
     from fitclip_tpu.utils.benchmarking import sustained_seconds_per_step
     from tests.test_s3dg_stem import _random_stem_params
 
@@ -59,12 +61,22 @@ def main() -> None:
         w, b, s = v2_packs[r]
         return s3dg_stem_conv_v2(x, w, b, s, ws=112)
 
+    v3_packs = {r: pack_stem_weights_v3(kern, bias, dtype, rows_per_iter=r)
+                for r in (2, 4, 8)}
+
+    def kcore3(x, r):
+        w, b, s = v3_packs[r]
+        return s3dg_stem_conv_v3(x, w, b, s, ws=112)
+
     cases = {
         "xla": lambda v: xla_stem(params, v),
         "kcore2_r1": lambda x: kcore2(x, 1),
         "kcore2_r2": lambda x: kcore2(x, 2),
         "kcore2_r4": lambda x: kcore2(x, 4),
         "kcore2_r8": lambda x: kcore2(x, 8),
+        "kcore3_r2": lambda x: kcore3(x, 2),
+        "kcore3_r4": lambda x: kcore3(x, 4),
+        "kcore3_r8": lambda x: kcore3(x, 8),
         "kern": lambda v: _stem_kernel_path(params, v, dtype),
         "relayout": s2d_transpose,
         "kcore": lambda x: s3dg_stem_conv(x, w2, bias_b, sel, ws=112),
@@ -76,7 +88,8 @@ def main() -> None:
     inputs = {"xla": video, "kern": video, "relayout": video,
               "kcore": xt, "xrelay": video, "xconv": xs2d,
               "kcore2_r1": xt, "kcore2_r2": xt, "kcore2_r4": xt,
-              "kcore2_r8": xt}
+              "kcore2_r8": xt, "kcore3_r2": xt, "kcore3_r4": xt,
+              "kcore3_r8": xt}
 
     selected = sys.argv[1:] or list(cases)
     for name in selected:

@@ -54,6 +54,41 @@ def test_stem_kernel_matches_xla_stem(shape):
     assert cosine > 0.9999, cosine
 
 
+@pytest.mark.parametrize("shape", [(2, 6, 32, 32, 3), (1, 4, 16, 16, 3)])
+def test_stem_kernel_v3_matches_v2(shape):
+    """v3 (persistent two-slot slab, per-step single-row copy) computes the
+    same conv+pool as v2 — including across clip boundaries and odd/even
+    time-step parities, which is where slab reuse could go wrong."""
+    from fitclip_tpu.ops.s3dg_stem import (pack_stem_weights_v2,
+                                           pack_stem_weights_v3,
+                                           s2d_transpose, s3dg_stem_conv_v2,
+                                           s3dg_stem_conv_v3)
+
+    rng = np.random.default_rng(3)
+    params = _random_stem_params(rng)
+    video = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    kern, bias = _folded(params["conv1"]["conv1"], params["conv1"]["bn1"],
+                         jnp.bfloat16)
+    xt = s2d_transpose(video.astype(jnp.bfloat16))
+    ws = shape[3] // 2
+    rpi = next(r for r in (4, 2, 1) if (shape[2] // 2) % r == 0)
+
+    w2, b2, s2 = pack_stem_weights_v2(kern, bias, jnp.bfloat16,
+                                      rows_per_iter=rpi)
+    ref = np.asarray(s3dg_stem_conv_v2(xt, w2, b2, s2, ws=ws), np.float32)
+    w3, b3, s3 = pack_stem_weights_v3(kern, bias, jnp.bfloat16,
+                                      rows_per_iter=rpi)
+    got = np.asarray(s3dg_stem_conv_v3(xt, w3, b3, s3, ws=ws), np.float32)
+
+    assert got.shape == ref.shape
+    # fp32 accumulation order differs (one 1024-deep dot vs two 512-deep
+    # dots summed); bf16 outputs agree to rounding.
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-2 * scale, rtol=2e-2)
+    denom = np.linalg.norm(ref.reshape(-1)) * np.linalg.norm(got.reshape(-1))
+    assert float((ref * got).sum() / (denom + 1e-9)) > 0.9999
+
+
 def test_stem_kernel_shard_maps_over_data_mesh():
     """The stem kernel is a pallas_call, so multi-chip eval shard_maps it
     (cli/runners._shard_mapped via the encoders' uses_pallas property);
