@@ -77,12 +77,7 @@ def _gate(params, pooled):
         + params["fc"]["bias"].astype(jnp.float32))
 
 
-def _self_gating(params, x, dtype):
-    pooled = x.mean(axis=(1, 2, 3), dtype=jnp.float32)
-    return x * _gate(params, pooled).astype(dtype)[:, None, None, None, :]
-
-
-def _inception_block(params, x, widths, dtype):
+def _inception_block(params, x, widths, dtype, defer_gate=False):
     b0, b1a, b1b, b2a, b2b, b3b = widths
     # One merged 1x1x1 conv for the three parallel branch stems.
     kernels, biases = zip(*(
@@ -100,16 +95,27 @@ def _inception_block(params, x, widths, dtype):
                        1, dtype=dtype)
     parts = [branch0, branch1, branch2, branch3]
     out = jnp.concatenate(parts, axis=-1)
-    if "gating_b0" in params:
-        # Gate vectors from the per-branch means (fp32 accumulation, same
-        # as SelfGating), applied as ONE multiply on the concatenated
-        # output instead of four per-branch passes.
-        gates = jnp.concatenate([
-            _gate(params[f"gating_b{i}"], part.mean(axis=(1, 2, 3),
-                                                    dtype=jnp.float32))
-            for i, part in enumerate(parts)], axis=-1)
-        out = out * gates.astype(dtype)[:, None, None, None, :]
-    return out
+    if "gating_b0" not in params:
+        return (out, None) if defer_gate else out
+    # Gate vectors from the per-branch means (fp32 accumulation, same as
+    # SelfGating), applied as ONE multiply on the concatenated output
+    # instead of four per-branch passes.
+    gates = jnp.concatenate([
+        _gate(params[f"gating_b{i}"], part.mean(axis=(1, 2, 3),
+                                                dtype=jnp.float32))
+        for i, part in enumerate(parts)], axis=-1).astype(dtype)
+    if defer_gate:
+        # The caller max-pools next: sigmoid gates are positive per-channel
+        # scales, and max commutes with positive scaling, so the multiply
+        # moves AFTER the pool onto the 4-8x smaller tensor (the gate MEANS
+        # still come from the pre-pool activation, exactly as the module).
+        return out, gates
+    return out * gates[:, None, None, None, :]
+
+
+def _gated(pair):
+    out, gates = pair
+    return out if gates is None else out * gates[:, None, None, None, :]
 
 
 _BLOCK_WIDTHS = {
@@ -176,17 +182,32 @@ def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
         x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
     x = conv(params["conv_2b"], x, 1)
     x = conv(params["conv_2c"], x, 3, padding=1, separable=True)
-    x = _self_gating(params["gating"], x, dtype)
+    # Self-gating deferred past the pool (see _inception_block defer_gate):
+    # the gate mean reads the 56^2 activation, the multiply runs at 28^2.
+    gate = _gate(params["gating"],
+                 x.mean(axis=(1, 2, 3), dtype=jnp.float32)).astype(dtype)
     x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
+    x = x * gate[:, None, None, None, :]
     x = _inception_block(params["mixed_3b"], x, _BLOCK_WIDTHS["mixed_3b"], dtype)
-    x = _inception_block(params["mixed_3c"], x, _BLOCK_WIDTHS["mixed_3c"], dtype)
-    x = max_pool_3d_tf_padding(x, 3, 2)
-    for name in ("mixed_4b", "mixed_4c", "mixed_4d", "mixed_4e", "mixed_4f"):
+    x, gate = _inception_block(params["mixed_3c"], x,
+                               _BLOCK_WIDTHS["mixed_3c"], dtype,
+                               defer_gate=True)
+    x = _gated((max_pool_3d_tf_padding(x, 3, 2), gate))
+    for name in ("mixed_4b", "mixed_4c", "mixed_4d", "mixed_4e"):
         x = _inception_block(params[name], x, _BLOCK_WIDTHS[name], dtype)
-    x = max_pool_3d_tf_padding(x, 2, 2)
+    x, gate = _inception_block(params["mixed_4f"], x,
+                               _BLOCK_WIDTHS["mixed_4f"], dtype,
+                               defer_gate=True)
+    x = _gated((max_pool_3d_tf_padding(x, 2, 2), gate))
     x = _inception_block(params["mixed_5b"], x, _BLOCK_WIDTHS["mixed_5b"], dtype)
-    x = _inception_block(params["mixed_5c"], x, _BLOCK_WIDTHS["mixed_5c"], dtype)
+    # The global mean is linear, so mixed_5c's gate commutes through it and
+    # multiplies a (B, C) vector instead of the (B, T, H, W, C) tensor.
+    x, gate = _inception_block(params["mixed_5c"], x,
+                               _BLOCK_WIDTHS["mixed_5c"], dtype,
+                               defer_gate=True)
     x = x.mean(axis=(1, 2, 3), dtype=jnp.float32).astype(dtype)
+    if gate is not None:
+        x = x * gate
     if use_last_layer:
         x = x @ params["fc"]["kernel"].astype(dtype) + params["fc"]["bias"].astype(dtype)
     return x
