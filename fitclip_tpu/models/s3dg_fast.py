@@ -144,15 +144,21 @@ def _stem_kernel_path(params, x: jnp.ndarray, dtype) -> jnp.ndarray:
     # non-multiple-of-8 input heights. v3 (persistent two-slot slab: the
     # time tap written at step t-1 is reused in place, so each step
     # lane-rolls and fetches only the NEW row) measured 3.99 -> 2.91 ms at
-    # rows_per_iter=4 (scripts/bench_s3dg_stem3.py, v5e) and is the
-    # default; S3DG_STEM_V=2 pins the previous kernel.
+    # rows_per_iter=4 (scripts/bench_s3dg_stem3.py, v5e); v4 feeds the slab
+    # straight from the selection matmul (`s2d_rows`), dropping the XLA
+    # pad/transpose relayouts. S3DG_STEM_V picks the generation.
     version = os.environ.get("S3DG_STEM_V", "3")
-    pack, conv = ((_stem.pack_stem_weights_v3, _stem.s3dg_stem_conv_v3)
-                  if version == "3"
-                  else (_stem.pack_stem_weights_v2, _stem.s3dg_stem_conv_v2))
+    pack, conv, producer = {
+        "2": (_stem.pack_stem_weights_v2, _stem.s3dg_stem_conv_v2,
+              _stem.s2d_transpose),
+        "3": (_stem.pack_stem_weights_v3, _stem.s3dg_stem_conv_v3,
+              _stem.s2d_transpose),
+        "4": (_stem.pack_stem_weights_v4, _stem.s3dg_stem_conv_v4,
+              _stem.s2d_rows),
+    }[version]
     rpi = next(r for r in (4, 2, 1) if (x.shape[2] // 2) % r == 0)
     w2, bias_b, sel = pack(kern, bias, dtype, rows_per_iter=rpi)
-    y = conv(_stem.s2d_transpose(x), w2, bias_b, sel, ws=x.shape[3] // 2)
+    y = conv(producer(x), w2, bias_b, sel, ws=x.shape[3] // 2)
     return y.transpose(0, 1, 2, 4, 3)  # (B, Ts, Hp, Wp, 64) NDHWC
 
 
@@ -184,6 +190,10 @@ def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
     x = conv(params["conv_2c"], x, 3, padding=1, separable=True)
     # Self-gating deferred past the pool (see _inception_block defer_gate):
     # the gate mean reads the 56^2 activation, the multiply runs at 28^2.
+    # (Splitting the mean out of the temporal conv's epilogue with an
+    # optimization_barrier measured NEGATIVE — 1675 -> 1531 clips/s: the
+    # 1.56 ms fused epilogue already hides the reduce behind the conv; a
+    # separate reduce pays a second full read of the 154 MB activation.)
     gate = _gate(params["gating"],
                  x.mean(axis=(1, 2, 3), dtype=jnp.float32)).astype(dtype)
     x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))

@@ -89,6 +89,35 @@ def s2d_transpose(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(p, ((0, 0), (0, 1), (0, 0), (0, _C_PAD - 8 * c), (0, 0)))
 
 
+def s2d_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, W, C=3) -> (B, T, H/2, 2048) v4 kernel input.
+
+    One selection matmul de-interleaves BOTH the h parity and (w2, c) of a
+    raw frame: the lhs view (B, T, H/2, 2, W*C) is a pure reshape (h2 rows
+    are memory-adjacent), and the contraction runs over its two minor dims
+    against sel[h2, wc, out]. Output channels are (h2*8 + j)*128 + w with
+    j = w2*C + c (j in [2C, 8) zero), so each frame contributes an aligned
+    16-sublane slab piece — no pad, no transpose, no extra HBM pass (the
+    v2/v3 producer `s2d_transpose` spent ~1.5 ms/call on those,
+    scripts/profile_s3dg.py). Time padding (the t+1 tap at the clip end)
+    moves into the kernel, which zeroes the new slab slot on the last step.
+    """
+    b, t, h, w, c = x.shape
+    assert c == 3, "v4 packs (w2, c) pairs into 8-lane-group pieces (C == 3)"
+    ws = w // 2
+    jn = 2 * c
+    jj = np.arange(jn).repeat(ws)
+    wo = np.tile(np.arange(ws), jn)
+    sel = np.zeros((2, w * c, 16 * 128), np.float32)
+    for h2 in range(2):
+        sel[h2, jn * wo + jj, 128 * (h2 * 8 + jj) + wo] = 1.0
+    rows = x.reshape(b, t, h // 2, 2, w * c)
+    p = jax.lax.dot_general(rows, jnp.asarray(sel, x.dtype),
+                            (((3, 4), (0, 1)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return p.astype(x.dtype)  # (B, T, H/2, 2048)
+
+
 def pack_stem_weights(kernel: jnp.ndarray, bias: jnp.ndarray,
                       dtype) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Folded conv kernel (2, 4, 4, 24, 64) THWIO + bias (64,) ->
@@ -360,6 +389,174 @@ def _stem_kernel_v3(x0_ref, x1_ref, w_ref, b_ref, s_ref, o_ref, slab_ref,
         return carry
 
     jax.lax.fori_loop(0, (hs // 2) // pc, pool_rows, 0)
+
+
+def pack_stem_weights_v4(kernel: jnp.ndarray, bias: jnp.ndarray, dtype,
+                         rows_per_iter: int = 4
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """v3's per-tap row-batched weights, with the 32 slab channels per dw
+    ordered ((t2*2 + h2) * 8 + w2*C + c) to match the v4 kernel's aligned
+    8-sublane (t2, h2) piece stores (j rows 2C..8 are zero, mirroring the
+    zero lane groups `s2d_rows` emits)."""
+    kt, kh, kw, c_in, c_out = kernel.shape
+    c = c_in // 8  # s2d channel order (t2, h2, w2, c) with C = c_in/8
+    k = kernel.astype(jnp.float32).reshape(kt, kh, kw, 2, 2, 2 * c, c_out)
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 0),
+                    (0, 8 - 2 * c), (0, 0)))
+    k = k.reshape(kt, kh, kw, _C_PAD, c_out)
+    base = k.reshape(kt, kh * kw * _C_PAD, c_out).transpose(0, 2, 1)
+    r = rows_per_iter
+    cols = kh * kw * _C_PAD  # 512
+    wide = jnp.zeros((kt, r * c_out, (r + 3) * kw * _C_PAD), jnp.float32)
+    for i in range(r):
+        wide = wide.at[:, i * c_out:(i + 1) * c_out,
+                       i * kw * _C_PAD:i * kw * _C_PAD + cols].set(base)
+    bias_b = jnp.broadcast_to(bias.astype(jnp.float32)[:, None],
+                              (c_out, 128))
+    bias_b = jnp.tile(bias_b, (r, 1))
+    sel = jnp.zeros((128, 128), dtype).at[2 * jnp.arange(64),
+                                          jnp.arange(64)].set(1)
+    return wide.astype(dtype), bias_b, sel
+
+
+def _stem_kernel_v4(x0_ref, x1_ref, w_ref, b_ref, s_ref, o_ref, slab_ref,
+                    wmax_ref, *, hs: int, ws: int, ts: int, rpi: int,
+                    pc: int, interpret: bool):
+    t = pl.program_id(1)
+    c_out = b_ref.shape[0] // rpi
+    row_c = 4 * _C_PAD
+
+    def fill_slot(slot, x_ref):
+        # x block (1, 2, hs, 2048): each frame (t2) contributes a 16-sublane
+        # (h2*8 + j) piece — a full bf16 tile, so the 8 rolled stores are
+        # all tile-aligned. (8-sublane pieces needed masked half-tile writes
+        # or an in-register concat — both measured ~1.4 ms/call slower.)
+        for t2 in range(2):
+            src = x_ref[0, t2].reshape(hs, 16, 128)
+            for dw in range(4):
+                off = dw * _C_PAD + t2 * 16
+                slab_ref[slot, 1:hs + 1, off:off + 16, :] = (
+                    _lane_roll(src, 1 - dw, interpret))
+
+    @pl.when(t == 0)
+    def _():
+        zero_rows = jnp.zeros((2, row_c, 128), slab_ref.dtype)
+        for ti in range(2):
+            slab_ref[ti, 0:1] = zero_rows[:1]
+            slab_ref[ti, hs + 1:hs + 3] = zero_rows
+        fill_slot(0, x0_ref)
+
+    slot_new = (t + 1) % 2
+
+    @pl.when(t < ts - 1)
+    def _():
+        fill_slot(slot_new, x1_ref)
+
+    @pl.when(t == ts - 1)
+    def _():
+        # The t+1 tap past the clip end is the conv's zero time padding
+        # (s2d_transpose carried an explicit zero row for v2/v3).
+        slab_ref[slot_new, 1:hs + 1] = jnp.zeros((hs, row_c, 128),
+                                                 slab_ref.dtype)
+
+    wa = w_ref[0]
+    wb = w_ref[1]
+    bias = b_ref[...]
+    sel = s_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rpi * c_out, 128), 1)
+    dn = (((1,), (0,)), ((), ()))
+    slot_a = t % 2
+
+    def conv_rows(i, carry):
+        h = i * rpi
+        pa = slab_ref[slot_a, pl.ds(h, rpi + 3)].reshape((rpi + 3) * row_c, 128)
+        pb = slab_ref[slot_new, pl.ds(h, rpi + 3)].reshape((rpi + 3) * row_c, 128)
+        acc = jax.lax.dot_general(wa, pa, dn,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(wb, pb, dn,
+                                        preferred_element_type=jnp.float32)
+        act = jnp.maximum(acc + bias, 0.0)
+        act = jnp.where(lane < ws, act, 0.0)
+        m = jnp.maximum(act, _lane_roll(act, -1, interpret))
+        m = jnp.maximum(m, _lane_roll(act, -2, interpret))
+        wmax_ref[pl.ds(h, rpi)] = m.reshape(rpi, c_out, 128).astype(
+            wmax_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, hs // rpi, conv_rows, 0)
+    wmax_ref[hs] = jnp.zeros((c_out, 128), wmax_ref.dtype)
+
+    def pool_rows(i, carry):
+        base = i * pc
+        rows = wmax_ref[pl.ds(2 * base, 2 * pc + 1)]
+        m1 = jnp.maximum(rows[0:2 * pc], rows[1:2 * pc + 1])
+        hm = m1.reshape(pc, 2, c_out, 128).max(axis=1)
+        out = jax.lax.dot_general(hm.reshape(pc * c_out, 128), sel, dn,
+                                  preferred_element_type=jnp.float32)
+        o_ref[0, 0, pl.ds(base, pc)] = out.reshape(
+            pc, c_out, 128)[:, :, :ws // 2].astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, (hs // 2) // pc, pool_rows, 0)
+
+
+def s3dg_stem_conv_v4(x: jnp.ndarray, wide: jnp.ndarray, bias_b: jnp.ndarray,
+                      sel: jnp.ndarray, ws: int,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
+    """v4: v3's persistent slab fed straight from `s2d_rows` output —
+    measured NEGATIVE on v5e, kept as a numerics-pinned ablation arm.
+
+    The idea was to drop the XLA-side pad/transpose relayouts by having the
+    kernel gather the de-interleaved frame pieces itself. Three layouts all
+    lost to v3's producer+kernel split (4.57 ms full path, batch 16x16f):
+    8-sublane piece stores = masked half-tile writes (kernel 2.91 -> 4.98
+    ms); in-register concat then full-tile stores (4.31); 16-sublane pieces
+    via an (h2, wc)-contracting selection matmul = aligned stores (3.50)
+    but the doubled-depth matmul producer runs at ~50 TFLOP/s instead of
+    ~180 (3.21 vs 0.44 ms) — full path 6.75 ms. The conclusion: Mosaic
+    wants full-tile stores AND the producer matmul wants a single minor-dim
+    contraction; v3's explicit relayout is cheaper than avoiding it."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t_raw, hs, lanes = x.shape
+    ts = t_raw // 2
+    assert lanes == 16 * 128 and ws <= 126
+    assert hs % 2 == 0 and ws % 2 == 0
+    rpi = wide.shape[2] // (4 * _C_PAD) - 3
+    c_out = wide.shape[1] // rpi
+    assert hs % rpi == 0, (hs, rpi)
+    pc = next(p for p in (8, 4, 2, 1) if (hs // 2) % p == 0)
+    kernel = functools.partial(_stem_kernel_v4, hs=hs, ws=ws, ts=ts, rpi=rpi,
+                               pc=pc, interpret=interpret)
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        grid=(b, ts),
+        in_specs=[
+            pl.BlockSpec((1, 2, hs, 16 * 128),
+                         lambda i, t: (i, 0, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((1, 2, hs, 16 * 128),
+                         lambda i, t: (i, jnp.minimum(t + 1, ts - 1), 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec(wide.shape, lambda i, t: (0, 0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec(bias_b.shape, lambda i, t: (0, 0),
+                         memory_space=memory_space),
+            pl.BlockSpec((128, 128), lambda i, t: (0, 0),
+                         memory_space=memory_space),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hs // 2, c_out, ws // 2),
+                               lambda i, t: (i, t, 0, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((b, ts, hs // 2, c_out, ws // 2),
+                                       x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, hs + 3, 4 * _C_PAD, 128), x.dtype),
+                        pltpu.VMEM((hs + 1, c_out, 128), x.dtype)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(x, x, wide, bias_b, sel)
 
 
 def s3dg_stem_conv_v3(x: jnp.ndarray, wide: jnp.ndarray, bias_b: jnp.ndarray,

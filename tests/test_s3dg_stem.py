@@ -89,6 +89,40 @@ def test_stem_kernel_v3_matches_v2(shape):
     assert float((ref * got).sum() / (denom + 1e-9)) > 0.9999
 
 
+@pytest.mark.parametrize("shape", [(2, 6, 32, 32, 3), (1, 4, 16, 16, 3)])
+def test_stem_kernel_v4_matches_v2(shape):
+    """v4 (slab fed straight from the `s2d_rows` selection matmul, in-kernel
+    (t2, h2) piece stores, in-kernel time padding) == v2."""
+    from fitclip_tpu.ops.s3dg_stem import (pack_stem_weights_v2,
+                                           pack_stem_weights_v4, s2d_rows,
+                                           s2d_transpose, s3dg_stem_conv_v2,
+                                           s3dg_stem_conv_v4)
+
+    rng = np.random.default_rng(4)
+    params = _random_stem_params(rng)
+    video = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    kern, bias = _folded(params["conv1"]["conv1"], params["conv1"]["bn1"],
+                         jnp.bfloat16)
+    ws = shape[3] // 2
+    rpi = next(r for r in (4, 2, 1) if (shape[2] // 2) % r == 0)
+
+    w2, b2, s2 = pack_stem_weights_v2(kern, bias, jnp.bfloat16,
+                                      rows_per_iter=rpi)
+    ref = np.asarray(s3dg_stem_conv_v2(
+        s2d_transpose(video.astype(jnp.bfloat16)), w2, b2, s2, ws=ws),
+        np.float32)
+    w4, b4, s4 = pack_stem_weights_v4(kern, bias, jnp.bfloat16,
+                                      rows_per_iter=rpi)
+    got = np.asarray(s3dg_stem_conv_v4(
+        s2d_rows(video.astype(jnp.bfloat16)), w4, b4, s4, ws=ws), np.float32)
+
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-2 * scale, rtol=2e-2)
+    denom = np.linalg.norm(ref.reshape(-1)) * np.linalg.norm(got.reshape(-1))
+    assert float((ref * got).sum() / (denom + 1e-9)) > 0.9999
+
+
 def test_stem_kernel_shard_maps_over_data_mesh():
     """The stem kernel is a pallas_call, so multi-chip eval shard_maps it
     (cli/runners._shard_mapped via the encoders' uses_pallas property);
