@@ -104,7 +104,12 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
                  vocab_path: Optional[str] = None, max_tokens: int = 20,
                  num_frames: int = 16, dtype=jnp.float32,
                  vocab_size: int = 66250, fast: Optional[bool] = None) -> None:
-        dtype = jnp.dtype(dtype)  # accepts "bfloat16" from config overrides
+        # "int8" = W8A8 on the tower's matmul-shaped convs (merged branch
+        # stems, b3 convs, conv_2b, FC — models/s3dg_fast.py), bf16 compute
+        # elsewhere; requires the fast forward and calibrated activation
+        # scales (the generic K-batch path in cli/runners.py).
+        self.quantized = str(dtype) == "int8"
+        dtype = jnp.dtype(jnp.bfloat16 if self.quantized else dtype)
         self.video_model = S3DG(dtype=dtype)
         self.text_model = MilNceTextEncoder(vocab_size=vocab_size)
         self.num_frames = num_frames
@@ -112,7 +117,10 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
         # The restructured eval forward (models/s3dg_fast.py: folded BN,
         # merged branch convs) is the default for the bf16 tower; fp32 keeps
         # the Flax module (oracle-parity path). ++encoder.fast=false pins it.
-        self.fast = (dtype == jnp.bfloat16) if fast is None else bool(fast)
+        self.fast = (True if self.quantized
+                     else dtype == jnp.bfloat16) if fast is None else bool(fast)
+        if self.quantized and not self.fast:
+            raise ValueError("int8 S3DG requires the fast eval forward")
         if tokenizer is None and vocab_path:
             tokenizer = MilNceTokenizer.from_npy(vocab_path, max_tokens=max_tokens)
         self._tokenizer = tokenizer
@@ -151,8 +159,31 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
         if self.fast:
             from fitclip_tpu.models.s3dg_fast import s3dg_fast_apply
 
-            return s3dg_fast_apply(params["video"], video, dtype=self.dtype)
+            return s3dg_fast_apply(params["video"], video, dtype=self.dtype,
+                                   int8=self.quantized)
         return self.video_model.apply({"params": params["video"]}, video)
+
+    def quantize_params(self, params) -> dict:
+        from fitclip_tpu.models.s3dg_fast import quantize_s3dg_fast
+
+        return {"video": quantize_s3dg_fast(params["video"]),
+                "text": params["text"]}
+
+    def collect_act_amax(self, params, video: jnp.ndarray,
+                         text=None):
+        """One eager calibration observation: dynamic-quant forward over the
+        video tower, per-site activation abs-maxes nested to mirror the
+        params tree (merge with ops.quant.merge_act_amax). The text tower is
+        unquantized (its word-embedding FC is noise in the FLOP budget)."""
+        assert self.quantized, "calibration requires a quantized encoder"
+        from fitclip_tpu.models.s3dg_fast import s3dg_fast_apply
+
+        if video.dtype == jnp.uint8:
+            video = video.astype(self.dtype) / 255.0
+        collect: dict = {}
+        s3dg_fast_apply(params["video"], video, dtype=self.dtype,
+                        int8=True, collect=collect)
+        return {"video": {"int8": collect}}
 
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
         return self.text_model.apply({"params": params["text"]}, text)
@@ -194,4 +225,6 @@ def load_mil_nce_encoder(vocab_path: Optional[str] = None,
         params = mil_nce_params_from_torch(video_sd, text_sd)
     else:
         params = encoder.init_params(jax.random.PRNGKey(seed))
+    if encoder.quantized:
+        params = encoder.quantize_params(params)
     return LoadedEncoder(encoder=encoder, params=params)

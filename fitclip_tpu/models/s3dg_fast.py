@@ -24,10 +24,11 @@ Reference semantics: aligner/encoder/s3dg.py:11-218 (vendored S3D-G).
 """
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fitclip_tpu.models.s3dg import (Size3, _triple, max_pool_3d_tf_padding,
                                      space_to_depth)
@@ -77,22 +78,105 @@ def _gate(params, pooled):
         + params["fc"]["bias"].astype(jnp.float32))
 
 
-def _inception_block(params, x, widths, dtype, defer_gate=False):
+# ---------------------------------------------------------------------------
+# W8A8 on the tower's matmul-shaped convs (round-4, VERDICT r3 #4).
+#
+# After the merged-branch restructuring every Inception block's 1x1x1 convs
+# are plain (rows, C_in) @ (C_in, C_out) matmuls over the flattened
+# spatio-temporal axes — exactly the shape class ops/quant.py already
+# handles for the transformer families. Quantized sites: conv_2b, each
+# block's merged branch stem, each block's post-pool b3 conv, and the final
+# FC. The separable 3D convs (conv_2c, conv_b1_b/conv_b2_b) and the Pallas
+# stem stay in the compute dtype. Calibration rides the generic K-batch
+# machinery (merge_act_amax / apply_act_scales / save_act_scales): the
+# "int8" subtree's {act_scale} nodes and the mirrored {"act_amax": (x,)}
+# collection tree are the same shapes cli/runners.py drives for CLIP.
+# ---------------------------------------------------------------------------
+
+
+def _quantized_matmul_site(kernel2d: jnp.ndarray, bias: jnp.ndarray) -> dict:
+    from fitclip_tpu.ops.quant import quantize_weight
+
+    node = quantize_weight(np.asarray(kernel2d, np.float32))
+    node["bias"] = np.asarray(bias, np.float32)
+    node["act_scale"] = np.ones((1,), np.float32)
+    return node
+
+
+def quantize_s3dg_fast(params) -> dict:
+    """S3DG param tree -> same tree + an "int8" subtree of quantized
+    matmul sites (BN folded fp32 first; per-out-channel weight scales;
+    per-tensor activation scales, ones until calibrated)."""
+    params = jax.tree_util.tree_map(np.asarray, dict(params))
+
+    def folded2d(conv, bn):
+        kern, bias = _folded(conv, bn, jnp.float32)
+        kern = np.asarray(kern)
+        return kern.reshape(kern.shape[-2], kern.shape[-1]), np.asarray(bias)
+
+    q = {"conv_2b": _quantized_matmul_site(
+        *folded2d(params["conv_2b"]["conv1"], params["conv_2b"]["bn1"]))}
+    for name in _BLOCK_WIDTHS:
+        block = params[name]
+        kernels, biases = zip(*(folded2d(block[b]["conv1"], block[b]["bn1"])
+                                for b in ("conv_b0", "conv_b1_a", "conv_b2_a")))
+        q[name] = {
+            "merged": _quantized_matmul_site(np.concatenate(kernels, axis=-1),
+                                             np.concatenate(biases)),
+            "b3": _quantized_matmul_site(
+                *folded2d(block["conv_b3_b"]["conv1"], block["conv_b3_b"]["bn1"])),
+        }
+    q["fc"] = _quantized_matmul_site(params["fc"]["kernel"],
+                                     params["fc"]["bias"])
+    out = dict(params)
+    out["int8"] = q
+    return out
+
+
+def _int8_conv1x1(node: dict, x: jnp.ndarray, collect: Optional[dict],
+                  site: str, relu: bool = True) -> jnp.ndarray:
+    """A quantized 1x1x1 conv site: contracts the trailing channel dim.
+    In collection mode records the fp32 activation abs-max and runs the
+    DYNAMIC per-row quant (accurate intermediates, same as the CLIP
+    calibration path)."""
+    from fitclip_tpu.ops.quant import int8_dense, int8_dense_static
+
+    if collect is not None:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32))).reshape((1,))
+        parts = site.split("/")
+        leaf = collect
+        for p in parts[:-1]:
+            leaf = leaf.setdefault(p, {})
+        leaf[parts[-1]] = {"act_amax": (amax,)}
+        out = int8_dense(x, node["kernel_q"], node["scale"], node["bias"])
+    else:
+        out = int8_dense_static(x, node["kernel_q"], node["scale"],
+                                node["bias"], node["act_scale"])
+    return jax.nn.relu(out) if relu else out
+
+
+def _inception_block(params, x, widths, dtype, defer_gate=False,
+                     q_block=None, collect=None, site=""):
     b0, b1a, b1b, b2a, b2b, b3b = widths
-    # One merged 1x1x1 conv for the three parallel branch stems.
-    kernels, biases = zip(*(
-        _folded(params[name]["conv1"], params[name]["bn1"], dtype)
-        for name in ("conv_b0", "conv_b1_a", "conv_b2_a")))
-    merged = jax.nn.relu(
-        _conv3d(x, jnp.concatenate(kernels, axis=-1))
-        + jnp.concatenate(biases))
+    if q_block is not None:
+        merged = _int8_conv1x1(q_block["merged"], x, collect, f"{site}/merged")
+        branch3 = _int8_conv1x1(q_block["b3"], max_pool_3d_tf_padding(x, 3, 1),
+                                collect, f"{site}/b3")
+    else:
+        # One merged 1x1x1 conv for the three parallel branch stems.
+        kernels, biases = zip(*(
+            _folded(params[name]["conv1"], params[name]["bn1"], dtype)
+            for name in ("conv_b0", "conv_b1_a", "conv_b2_a")))
+        merged = jax.nn.relu(
+            _conv3d(x, jnp.concatenate(kernels, axis=-1))
+            + jnp.concatenate(biases))
+        branch3 = _st_conv(params["conv_b3_b"], max_pool_3d_tf_padding(x, 3, 1),
+                           1, dtype=dtype)
     branch0 = merged[..., :b0]
     branch1 = _st_conv(params["conv_b1_b"], merged[..., b0:b0 + b1a],
                        3, padding=1, separable=True, dtype=dtype)
     branch2 = _st_conv(params["conv_b2_b"], merged[..., b0 + b1a:],
                        3, padding=1, separable=True, dtype=dtype)
-    branch3 = _st_conv(params["conv_b3_b"], max_pool_3d_tf_padding(x, 3, 1),
-                       1, dtype=dtype)
     parts = [branch0, branch1, branch2, branch3]
     out = jnp.concatenate(parts, axis=-1)
     if "gating_b0" not in params:
@@ -165,15 +249,23 @@ def _stem_kernel_path(params, x: jnp.ndarray, dtype) -> jnp.ndarray:
 def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
                     use_space_to_depth: bool = True,
                     use_last_layer: bool = True,
-                    stem_kernel: bool = None) -> jnp.ndarray:
+                    stem_kernel: bool = None,
+                    int8: bool = False,
+                    collect: Optional[dict] = None) -> jnp.ndarray:
     """Drop-in for `S3DG(...).apply({"params": params}, video)` at eval.
 
     video: (B, T, H, W, 3) raw pixels; returns (B, 512) embeddings.
     stem_kernel=None routes the s2d stem through the Pallas conv kernel on
     TPU (ops/s3dg_stem.py); True forces it (interpret mode off-TPU).
+    int8=True runs the matmul-shaped convs W8A8 (params must come from
+    quantize_s3dg_fast); pass a dict as ``collect`` to record per-site
+    activation abs-maxes for calibration (dynamic-quant forward).
     """
     if stem_kernel is None:
         stem_kernel = use_space_to_depth and jax.default_backend() == "tpu"
+    q = params.get("int8") if int8 else None
+    if int8 and q is None:
+        raise ValueError("int8 forward needs quantize_s3dg_fast params")
     x = video.astype(dtype)
     conv = partial(_st_conv, dtype=dtype)
     if stem_kernel and use_space_to_depth:
@@ -186,7 +278,10 @@ def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
         else:
             x = conv(params["conv1"], x, (3, 7, 7), stride=2, padding=(1, 3, 3))
         x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
-    x = conv(params["conv_2b"], x, 1)
+    if q is not None:
+        x = _int8_conv1x1(q["conv_2b"], x, collect, "conv_2b")
+    else:
+        x = conv(params["conv_2b"], x, 1)
     x = conv(params["conv_2c"], x, 3, padding=1, separable=True)
     # Self-gating deferred past the pool (see _inception_block defer_gate):
     # the gate mean reads the 56^2 activation, the multiply runs at 28^2.
@@ -198,26 +293,30 @@ def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
                  x.mean(axis=(1, 2, 3), dtype=jnp.float32)).astype(dtype)
     x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
     x = x * gate[:, None, None, None, :]
-    x = _inception_block(params["mixed_3b"], x, _BLOCK_WIDTHS["mixed_3b"], dtype)
-    x, gate = _inception_block(params["mixed_3c"], x,
-                               _BLOCK_WIDTHS["mixed_3c"], dtype,
-                               defer_gate=True)
+
+    def block(name, x, defer_gate=False):
+        return _inception_block(params[name], x, _BLOCK_WIDTHS[name], dtype,
+                                defer_gate=defer_gate,
+                                q_block=q.get(name) if q is not None else None,
+                                collect=collect, site=name)
+
+    x = block("mixed_3b", x)
+    x, gate = block("mixed_3c", x, defer_gate=True)
     x = _gated((max_pool_3d_tf_padding(x, 3, 2), gate))
     for name in ("mixed_4b", "mixed_4c", "mixed_4d", "mixed_4e"):
-        x = _inception_block(params[name], x, _BLOCK_WIDTHS[name], dtype)
-    x, gate = _inception_block(params["mixed_4f"], x,
-                               _BLOCK_WIDTHS["mixed_4f"], dtype,
-                               defer_gate=True)
+        x = block(name, x)
+    x, gate = block("mixed_4f", x, defer_gate=True)
     x = _gated((max_pool_3d_tf_padding(x, 2, 2), gate))
-    x = _inception_block(params["mixed_5b"], x, _BLOCK_WIDTHS["mixed_5b"], dtype)
+    x = block("mixed_5b", x)
     # The global mean is linear, so mixed_5c's gate commutes through it and
     # multiplies a (B, C) vector instead of the (B, T, H, W, C) tensor.
-    x, gate = _inception_block(params["mixed_5c"], x,
-                               _BLOCK_WIDTHS["mixed_5c"], dtype,
-                               defer_gate=True)
+    x, gate = block("mixed_5c", x, defer_gate=True)
     x = x.mean(axis=(1, 2, 3), dtype=jnp.float32).astype(dtype)
     if gate is not None:
         x = x * gate
     if use_last_layer:
-        x = x @ params["fc"]["kernel"].astype(dtype) + params["fc"]["bias"].astype(dtype)
+        if q is not None:
+            x = _int8_conv1x1(q["fc"], x, collect, "fc", relu=False)
+        else:
+            x = x @ params["fc"]["kernel"].astype(dtype) + params["fc"]["bias"].astype(dtype)
     return x

@@ -63,31 +63,41 @@ class _LayerNorm(nn.Module):
 
 
 class BertLayer(nn.Module):
+    """dtype is the matmul compute dtype. fp32 keeps the HF-oracle parity
+    path (precision=HIGHEST); bf16 runs the denses on the MXU's native rate
+    — fp32 HIGHEST matmuls are multi-pass emulated on v5e (the same trap
+    measured on RN50 4.3x and FiT 2.6x, BASELINE.md). Attention logits and
+    softmax stay fp32; LayerNorm always reduces in fp32 and casts back."""
     config: BertConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, attention_mask):
         cfg = self.config
         head_dim = cfg.hidden_size // cfg.num_heads
 
+        def dense(features, name):
+            return nn.Dense(features, name=name, dtype=self.dtype,
+                            precision=PRECISION)
+
         def heads(t):
             return t.reshape(*t.shape[:-1], cfg.num_heads, head_dim)
 
-        q = heads(nn.Dense(cfg.hidden_size, name="attention_query", precision=PRECISION)(x))
-        k = heads(nn.Dense(cfg.hidden_size, name="attention_key", precision=PRECISION)(x))
-        v = heads(nn.Dense(cfg.hidden_size, name="attention_value", precision=PRECISION)(x))
+        q = heads(dense(cfg.hidden_size, "attention_query")(x))
+        k = heads(dense(cfg.hidden_size, "attention_key")(x))
+        v = heads(dense(cfg.hidden_size, "attention_value")(x))
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=PRECISION,
                             preferred_element_type=jnp.float32) / (head_dim ** 0.5)
         logits = jnp.where(attention_mask[:, None, None, :] > 0, logits,
                            jnp.finfo(jnp.float32).min)
-        weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", weights, v,
-                          precision=PRECISION).reshape(*x.shape)
-        attn = nn.Dense(cfg.hidden_size, name="attention_output", precision=PRECISION)(attn)
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", weights, v, precision=PRECISION,
+                          preferred_element_type=self.dtype).reshape(*x.shape)
+        attn = dense(cfg.hidden_size, "attention_output")(attn)
         x = _LayerNorm(name="attention_layernorm")(x + attn)
-        h = nn.Dense(cfg.intermediate_size, name="intermediate", precision=PRECISION)(x)
+        h = dense(cfg.intermediate_size, "intermediate")(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.hidden_size, name="output", precision=PRECISION)(h)
+        h = dense(cfg.hidden_size, "output")(h)
         return _LayerNorm(name="output_layernorm")(x + h)
 
 
@@ -95,6 +105,7 @@ class BertEncoderModel(nn.Module):
     """BERT embeddings + N post-LN layers; inputs_embeds/position_ids are
     explicit so the MMBert video path can interleave its own tokens."""
     config: BertConfig
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs_embeds, position_ids, token_type_ids, attention_mask):
@@ -106,20 +117,23 @@ class BertEncoderModel(nn.Module):
         x = inputs_embeds + position[position_ids] + token_type[token_type_ids]
         x = _LayerNorm(name="embeddings_layernorm")(x)
         for i in range(cfg.num_layers):
-            x = BertLayer(cfg, name=f"layer_{i}")(x, attention_mask)
+            x = BertLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(x, attention_mask)
         return x
 
 
 class VideoTokenMLP(nn.Module):
     """Linear -> GELU -> LayerNorm(eps 1e-5) -> Linear (videoclip.py:9-24)."""
     hidden_size: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_size, name="linear1", precision=PRECISION)(x)
+        x = nn.Dense(self.hidden_size, name="linear1", dtype=self.dtype,
+                     precision=PRECISION)(x)
         x = nn.gelu(x, approximate=False)
         x = _LayerNorm(eps=1e-5, name="layernorm")(x)
-        return nn.Dense(self.hidden_size, name="linear2", precision=PRECISION)(x)
+        return nn.Dense(self.hidden_size, name="linear2", dtype=self.dtype,
+                        precision=PRECISION)(x)
 
 
 class VideoClipModel(nn.Module):
@@ -130,6 +144,7 @@ class VideoClipModel(nn.Module):
     num_video_layers: int = 6
     max_video_len: int = 32
     video_feature_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         cfg = self.config
@@ -139,10 +154,11 @@ class VideoClipModel(nn.Module):
         self.text_word_embeddings = self.param(
             "text_word_embeddings", nn.initializers.normal(0.02),
             (cfg.vocab_size, cfg.hidden_size))
-        self.videomlp = VideoTokenMLP(cfg.hidden_size)
+        self.videomlp = VideoTokenMLP(cfg.hidden_size, dtype=self.dtype)
         self.video_bert = BertEncoderModel(
-            dataclasses.replace(cfg, num_layers=self.num_video_layers))
-        self.text_bert = BertEncoderModel(cfg)
+            dataclasses.replace(cfg, num_layers=self.num_video_layers),
+            dtype=self.dtype)
+        self.text_bert = BertEncoderModel(cfg, dtype=self.dtype)
 
     def forward_video(self, vfeats, vmasks, cls_id: int, sep_id: int):
         """vfeats (B, n, feature_dim), vmasks (B, n) -> (B, hidden)."""
@@ -246,14 +262,23 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
                  tokenizer=None, vocab_path: Optional[str] = None,
                  dtype=jnp.float32, fast: Optional[bool] = None) -> None:
         self.config = config or BertConfig()
-        self.model = VideoClipModel(self.config)
-        # dtype runs the S3DG feature extractor (the FLOP/bandwidth bulk of
-        # this encoder) in that dtype; the small MMBert fusion stays fp32.
-        self.dtype = jnp.dtype(dtype)
+        # dtype runs the S3DG feature extractor AND the MMBert fusion matmuls
+        # in that dtype (round-4: the fusion was pinned fp32 HIGHEST — v5e
+        # multi-pass-emulates those matmuls; bf16-vs-fp32 cosine is gated in
+        # tests/test_videoclip.py). LayerNorms/softmax/pooling stay fp32.
+        # "int8" = W8A8 S3DG matmul-shaped convs (models/s3dg_fast.py) with
+        # the fusion in bf16; needs calibrated scales (cli/runners.py).
+        self.quantized = str(dtype) == "int8"
+        self.dtype = jnp.dtype(jnp.bfloat16 if self.quantized else dtype)
+        fusion_dtype = jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32
+        self.model = VideoClipModel(self.config, dtype=fusion_dtype)
         self.s3dg = S3DG(dtype=self.dtype)
         # bf16 defaults to the restructured S3DG eval forward
         # (models/s3dg_fast.py); fp32 keeps the Flax oracle-parity path.
-        self.fast = (self.dtype == jnp.bfloat16) if fast is None else bool(fast)
+        self.fast = (True if self.quantized else
+                     self.dtype == jnp.bfloat16) if fast is None else bool(fast)
+        if self.quantized and not self.fast:
+            raise ValueError("int8 S3DG requires the fast eval forward")
         self.num_frames = num_frames
         self.frames_per_clip = frames_per_clip
         self._tokenizer = tokenizer
@@ -307,7 +332,8 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
         if self.fast:
             from fitclip_tpu.models.s3dg_fast import s3dg_fast_apply
 
-            features = s3dg_fast_apply(params["s3dg"], clips, dtype=self.dtype)
+            features = s3dg_fast_apply(params["s3dg"], clips, dtype=self.dtype,
+                                       int8=self.quantized)
         else:
             features = self.s3dg.apply({"params": params["s3dg"]}, clips)
         features = features.reshape(b, n_clips, -1)
@@ -315,6 +341,30 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
         return self.model.apply({"params": params["model"]}, features, vmasks,
                                 self.CLS_ID, self.SEP_ID,
                                 method=VideoClipModel.forward_video)
+
+    def quantize_params(self, params) -> dict:
+        from fitclip_tpu.models.s3dg_fast import quantize_s3dg_fast
+
+        return {"s3dg": quantize_s3dg_fast(params["s3dg"]),
+                "model": params["model"]}
+
+    def collect_act_amax(self, params, video: jnp.ndarray, text=None):
+        """One eager calibration observation over the S3DG sites (the MMBert
+        fusion stays bf16); mirror of the params tree for apply_act_scales."""
+        assert self.quantized, "calibration requires a quantized encoder"
+        from fitclip_tpu.models.s3dg_fast import s3dg_fast_apply
+
+        if video.dtype == jnp.uint8:
+            video = video.astype(jnp.float32) / 255.0
+        b, t = video.shape[0], video.shape[1]
+        n_clips = max(t // self.frames_per_clip, 1)
+        usable = n_clips * self.frames_per_clip
+        clips = video[:, :usable].reshape(b * n_clips, self.frames_per_clip,
+                                          *video.shape[2:])
+        collect: dict = {}
+        s3dg_fast_apply(params["s3dg"], clips, dtype=self.dtype,
+                        int8=True, collect=collect)
+        return {"s3dg": {"int8": collect}}
 
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
         attention_mask = (text != 0).astype(jnp.int32)
@@ -363,4 +413,6 @@ def load_videoclip_encoder(model_pretrained_path: Optional[str] = None,
 
         params["s3dg"] = _torch_tree_to_flax(
             load_torch_state_dict(video_encoder_pretrained_path))
+    if encoder.quantized:
+        params = encoder.quantize_params(params)
     return LoadedEncoder(encoder=encoder, params=params)

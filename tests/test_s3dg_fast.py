@@ -83,3 +83,91 @@ def test_fast_path_wired_into_videoclip_bf16():
     cos = ((a * b).sum(-1) / (np.linalg.norm(a, axis=-1) *
                               np.linalg.norm(b, axis=-1)))
     assert cos.min() > 0.999
+
+
+def test_int8_sites_calibrate_and_match_bf16():
+    """Round-4 W8A8 path: quantize_s3dg_fast + K-batch calibration through
+    the generic ops/quant machinery must stay cosine > 0.99 vs the bf16
+    fast forward, and the scales must roundtrip through save/load."""
+    from fitclip_tpu.models.s3dg_fast import quantize_s3dg_fast
+    from fitclip_tpu.ops.quant import (apply_act_scales, merge_act_amax,
+                                       load_act_scales, save_act_scales)
+
+    model = S3DG(dtype=jnp.bfloat16)
+    params = _params_with_real_stats(model)
+    rng = np.random.default_rng(2)
+    video = jnp.asarray(rng.random(size=(2, 16, 32, 32, 3)).astype(np.float32))
+
+    qparams = quantize_s3dg_fast(params)
+    # Uncalibrated scales are the all-ones sentinel.
+    assert float(np.ptp(qparams["int8"]["mixed_3b"]["merged"]["act_scale"])) == 0.0
+
+    amax = None
+    for seed in (3, 4):
+        batch = jnp.asarray(np.random.default_rng(seed).random(
+            size=(1, 16, 32, 32, 3)).astype(np.float32))
+        collect: dict = {}
+        s3dg_fast_apply(qparams, batch, dtype=jnp.bfloat16, int8=True,
+                        collect=collect)
+        amax = merge_act_amax(amax, {"int8": collect})
+    qparams = apply_act_scales(qparams, amax)
+    assert float(np.ptp(np.concatenate(
+        [np.ravel(n["act_scale"]) for _, n in
+         [(p, q) for p, q in _walk_scales(qparams["int8"])]]))) > 0.0
+
+    bf16 = np.asarray(
+        jax.jit(lambda p, v: s3dg_fast_apply(p, v, dtype=jnp.bfloat16))(
+            params, video), np.float32)
+    int8 = np.asarray(
+        jax.jit(lambda p, v: s3dg_fast_apply(p, v, dtype=jnp.bfloat16,
+                                             int8=True))(qparams, video),
+        np.float32)
+    cos = ((bf16 * int8).sum(-1) /
+           (np.linalg.norm(bf16, axis=-1) * np.linalg.norm(int8, axis=-1)))
+    assert cos.min() > 0.99, cos
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "scales.npz")
+        save_act_scales(path, qparams)
+        fresh = quantize_s3dg_fast(params)
+        fresh = load_act_scales(path, fresh)
+        np.testing.assert_array_equal(
+            fresh["int8"]["mixed_5c"]["b3"]["act_scale"],
+            qparams["int8"]["mixed_5c"]["b3"]["act_scale"])
+
+
+def _walk_scales(node, prefix=""):
+    for key, value in node.items():
+        if isinstance(value, dict):
+            if "act_scale" in value:
+                yield f"{prefix}{key}", value
+            else:
+                yield from _walk_scales(value, f"{prefix}{key}/")
+
+
+def test_int8_wired_into_encoders():
+    """++encoder.dtype=int8 flags the MIL-NCE / VideoCLIP encoders quantized
+    (bf16 compute elsewhere) and their collect_act_amax trees mirror params."""
+    from fitclip_tpu.models.mil_nce import MilNceVideoTextEncoder
+    from fitclip_tpu.models.videoclip import BertConfig, VideoClipVideoTextEncoder
+
+    enc = MilNceVideoTextEncoder(dtype="int8")
+    assert enc.quantized and enc.fast and enc.dtype == jnp.bfloat16
+    params = enc.quantize_params(enc.init_params(jax.random.PRNGKey(0)))
+    video = jnp.asarray(np.random.default_rng(5).random(
+        size=(1, 16, 32, 32, 3)).astype(np.float32))
+    amax = enc.collect_act_amax(params, video)
+    assert "fc" in amax["video"]["int8"]
+    emb = enc.encode_video(params, video)
+    assert emb.shape == (1, 512)
+
+    vc = VideoClipVideoTextEncoder(BertConfig.tiny_test(vocab_size=30),
+                                   num_frames=16, frames_per_clip=8,
+                                   dtype="int8")
+    assert vc.quantized and vc.model.dtype == jnp.bfloat16
+    vparams = vc.quantize_params(vc.init_params(jax.random.PRNGKey(1)))
+    vamax = vc.collect_act_amax(vparams, video)
+    assert "conv_2b" in vamax["s3dg"]["int8"]
+    vemb = vc.encode_video(vparams, video)
+    assert vemb.shape == (1, vc.config.hidden_size)

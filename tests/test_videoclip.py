@@ -135,3 +135,28 @@ def test_bf16_s3dg_tower_close_to_fp32():
     cos = ((a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
                               * np.linalg.norm(b, axis=-1))).min()
     assert cos > 0.999, cos
+
+
+def test_bf16_fusion_tower_close_to_fp32_text():
+    """Round-4: the MMBert fusion matmuls follow ++encoder.dtype=bfloat16
+    (they were pinned fp32 HIGHEST — multi-pass emulated on v5e). The text
+    path runs ONLY the fusion tower, so this gates the fusion numerics
+    directly (the video gate above covers S3DG+fusion combined)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.videoclip import BertConfig, VideoClipVideoTextEncoder
+
+    config = BertConfig.tiny_test(vocab_size=30)
+    fp32 = VideoClipVideoTextEncoder(config, num_frames=16, frames_per_clip=8)
+    bf16 = VideoClipVideoTextEncoder(config, num_frames=16, frames_per_clip=8,
+                                     dtype="bfloat16")
+    assert bf16.model.dtype == jnp.bfloat16 and fp32.model.dtype == jnp.float32
+    params = fp32.init_params(jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.default_rng(1).integers(
+        4, 30, (3, 12), dtype=np.int64))
+    a = np.asarray(fp32.encode_text(params, ids), np.float32)
+    b = np.asarray(bf16.encode_text(params, ids), np.float32)
+    cos = ((a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                              * np.linalg.norm(b, axis=-1))).min()
+    assert cos > 0.999, cos
