@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from fitclip_tpu.ops.fit_block import (FIT_LN_EPS, fused_fit_int8_layer,
+                                       fused_fit_int8_layer_pad,
                                        fused_fit_int8_layer_split)
 
 PRECISION = jax.lax.Precision.HIGHEST
@@ -35,7 +36,8 @@ def _layer_norm(x, node, dtype, eps=FIT_LN_EPS):
 def encode_video_features_fast(video_params, video: jnp.ndarray, config,
                                dtype=jnp.bfloat16,
                                block_rows: int = 1,
-                               split: bool = False) -> jnp.ndarray:
+                               split: bool = False,
+                               pad8: bool = False) -> jnp.ndarray:
     """(B, F, H, W, 3) normalized video -> (B, embed_dim) CLS features
     through the per-block int8 megakernels. `config` is FrozenInTimeConfig
     (embed_dim/depth/num_heads/patch_size/img_size/num_frames).
@@ -86,6 +88,26 @@ def encode_video_features_fast(video_params, video: jnp.ndarray, config,
                 block_rows=block_rows)
         # Only the CLS row survives the head: normalize it alone.
         return _layer_norm(cls, v["norm"], dtype)[:, 0]
+
+    if pad8:
+        # PAD8 joint layout: [CLS | 7 dead | F groups of ceil8(P) rows] so
+        # every in-kernel frame slice is sublane-aligned (the 1+F*P layout
+        # slices at offsets ≡ 1 mod 8 — Mosaic sublane shifts). Dead rows
+        # are zero-seeded once here and masked inside the kernel; cost is
+        # one pad relayout at entry + (8 + F*(ceil8(P)-P))/N extra row FLOPs.
+        cls_pad = 8
+        group = -(-patches // 8) * 8
+        xp = x.reshape(b, f, patches, width)
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, group - patches), (0, 0)))
+        x = jnp.concatenate([
+            cls, jnp.zeros((b, cls_pad - 1, width), dtype),
+            xp.reshape(b, f * group, width)], axis=1)
+        for i in range(cfg.depth):
+            x = fused_fit_int8_layer_pad(x, v[f"blocks_{i}"], cfg.num_heads,
+                                         frames=f, real_patches=patches,
+                                         cls_pad=cls_pad,
+                                         block_rows=block_rows)
+        return _layer_norm(x[:, :1], v["norm"], dtype)[:, 0]
 
     x = jnp.concatenate([cls, x], axis=1)
     for i in range(cfg.depth):

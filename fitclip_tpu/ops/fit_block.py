@@ -49,10 +49,11 @@ from fitclip_tpu.ops.quant import QUANT_EPS
 FIT_LN_EPS = 1e-6
 
 
-def _cls_global_row(qkv, heads: int, scale: float, out_mul):
+def _cls_global_row(qkv, heads: int, scale: float, out_mul, key_mask=None):
     """The CLS token's attention over the FULL (BB, N, 3W) qkv: one query
     row per head, softmax over all N keys; the requant multiplier rides the
-    normalizer. Returns (BB, 1, W) fp32 (pre-scaled by out_mul)."""
+    normalizer. Returns (BB, 1, W) fp32 (pre-scaled by out_mul).
+    key_mask (1, 1, N) of 0/-inf excludes dead rows in the pad8 layout."""
     block_b, n, triple_w = qkv.shape
     width = triple_w // 3
     head_dim = width // heads
@@ -66,6 +67,8 @@ def _cls_global_row(qkv, heads: int, scale: float, out_mul):
         logits = jax.lax.dot_general(
             cq, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (BB, 1, N)
+        if key_mask is not None:
+            logits = logits + key_mask
         peak = jnp.max(logits, axis=-1, keepdims=True)
         exps = jnp.exp(logits - peak)
         denom = jnp.sum(exps, axis=-1, keepdims=True)
@@ -77,11 +80,13 @@ def _cls_global_row(qkv, heads: int, scale: float, out_mul):
 
 
 def _space_attention(qkv, heads: int, frames: int, patches: int,
-                     scale: float, out_mul):
+                     scale: float, out_mul, cls_pad: int = 1, col_mask=None):
     """Divided SPACE attention on in-VMEM qkv (BB, 1+F*P, 3W): per frame the
     patch rows attend within the frame plus the clip's global CLS key/value
     (joined in logit space as index 0). Per-(frame, head) lane-slice form.
-    Returns (BB, F*P, W) fp32 pre-scaled by out_mul (patch rows only)."""
+    Returns (BB, F*P, W) fp32 pre-scaled by out_mul (patch rows only).
+    cls_pad/col_mask serve the pad8 layout: frame groups start at
+    cls_pad + f*patches and col_mask (1, 1, P) -infs the dead columns."""
     block_b, n, triple_w = qkv.shape
     width = triple_w // 3
     head_dim = width // heads
@@ -89,7 +94,7 @@ def _space_attention(qkv, heads: int, frames: int, patches: int,
 
     frame_parts = []
     for f in range(frames):
-        lo = 1 + f * patches
+        lo = cls_pad + f * patches
         head_parts = []
         for h in range(heads):
             off_q = h * head_dim
@@ -103,6 +108,8 @@ def _space_attention(qkv, heads: int, frames: int, patches: int,
             logits = jax.lax.dot_general(
                 q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # (BB, P, P)
+            if col_mask is not None:
+                logits = logits + col_mask
             cls_l = jax.lax.dot_general(
                 q, g_k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # (BB, P, 1)
@@ -123,7 +130,7 @@ def _space_attention(qkv, heads: int, frames: int, patches: int,
 
 
 def _time_attention(qkv, heads: int, frames: int, patches: int,
-                    scale: float, out_mul):
+                    scale: float, out_mul, cls_pad: int = 1):
     """Divided TIME attention in natural layout (ops/attention.py
     _time_attention_kernel math): query frame f at location p attends over
     [CLS | frames g] at the same p; logits are lane reductions, softmax an
@@ -140,7 +147,7 @@ def _time_attention(qkv, heads: int, frames: int, patches: int,
         off_v = 2 * width + h * head_dim
 
         def rows(off, f):
-            lo = 1 + f * patches
+            lo = cls_pad + f * patches
             return qkv[:, lo:lo + patches, off:off + head_dim]
 
         g_k = qkv[:, :1, off_k:off_k + head_dim]  # (BB, 1, D)
@@ -445,6 +452,133 @@ def _fit_layer_kernel(x_ref, invs_ref,
     h_q = jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8)
     y_ref[...] = (s32 + _int8_dense(h_q, wp_ref, ps_ref, pb_ref)) \
         .astype(y_ref.dtype)
+
+
+def _fit_layer_pad_kernel(x_ref, invs_ref, cmask_ref, smask_ref,
+                          ln3_s_ref, ln3_b_ref, wtq_ref, tqs_ref, tqb_ref,
+                          wtp_ref, tps_ref, tpb_ref,
+                          ln1_s_ref, ln1_b_ref, wsq_ref, sqs_ref, sqb_ref,
+                          wsp_ref, sps_ref, spb_ref,
+                          ln2_s_ref, ln2_b_ref, wf_ref, fs2_ref, fb2_ref,
+                          kv_ref, wp_ref, ps_ref, pb_ref, y_ref, *,
+                          heads: int, frames: int, cls_pad: int,
+                          approx_recip: bool = True,
+                          ln_eps: float = FIT_LN_EPS):
+    """_fit_layer_kernel on the PAD8 joint layout: rows are
+    [CLS | cls_pad-1 dead | F groups of P rows], with P a multiple of 8 so
+    every in-kernel frame slice starts on a sublane boundary (the 1+F*196
+    layout's ≡1 mod 8 offsets lower as Mosaic sublane shifts). Dead rows
+    (group tails + the CLS block tail) are finite junk: excluded from real
+    rows' softmaxes by cmask (1, N) / smask (1, P) 0/-inf operands, and
+    row-local everywhere else."""
+    x = x_ref[...]
+    x32 = x.astype(jnp.float32)
+    n, width = x.shape[-2], x.shape[-1]
+    patches = (n - cls_pad) // frames
+    head_dim = width // heads
+    scale = head_dim ** -0.5
+    cmask = cmask_ref[...].reshape(1, 1, n)
+    smask = smask_ref[...].reshape(1, 1, patches)
+
+    def attention_half(h32, inv_in, wq_ref, qs_ref, qb_ref, inv_out,
+                       wo_ref, os_ref, ob_ref, mode):
+        h_q = _quant(h32, inv_in)
+        qkv = _int8_dense(h_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
+        cls_out = _cls_global_row(qkv, heads, scale, inv_out, key_mask=cmask)
+        if mode == "space":
+            rows = _space_attention(qkv, heads, frames, patches, scale,
+                                    inv_out, cls_pad=cls_pad, col_mask=smask)
+        else:
+            rows = _time_attention(qkv, heads, frames, patches, scale,
+                                   inv_out, cls_pad=cls_pad)
+        dead = jnp.zeros((cls_out.shape[0], cls_pad - 1, width), jnp.float32)
+        att = jnp.concatenate([cls_out, dead, rows], axis=1)
+        att_q = jnp.clip(jnp.round(att), -127, 127).astype(jnp.int8)
+        return _int8_dense(att_q, wo_ref, os_ref, ob_ref)
+
+    t32 = x32 + attention_half(
+        _ln(x32, ln3_s_ref, ln3_b_ref, ln_eps), invs_ref[0, 0],
+        wtq_ref, tqs_ref, tqb_ref, invs_ref[0, 1],
+        wtp_ref, tps_ref, tpb_ref, "time")
+    s32 = x32 + attention_half(
+        _ln(t32, ln1_s_ref, ln1_b_ref, ln_eps), invs_ref[0, 2],
+        wsq_ref, sqs_ref, sqb_ref, invs_ref[0, 3],
+        wsp_ref, sps_ref, spb_ref, "space")
+    h2_q = _quant(_ln(s32, ln2_s_ref, ln2_b_ref, ln_eps), invs_ref[0, 4])
+    acc = jax.lax.dot_general(
+        h2_q, wf_ref[...], dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    t = acc.astype(jnp.float32) * fs2_ref[...][0] + fb2_ref[...][0]
+    h_q = _erf_gelu_quant(t, kv_ref[...][0], approx_recip)
+    y_ref[...] = (s32 + _int8_dense(h_q, wp_ref, ps_ref, pb_ref)) \
+        .astype(y_ref.dtype)
+
+
+def pad8_masks(frames: int, real_patches: int, group: int, cls_pad: int):
+    """(cmask (1, N), smask (1, group)) fp32 0/-inf numpy masks for the
+    pad8 layout: valid rows are row 0 and the first real_patches of each
+    frame group."""
+    import numpy as np
+
+    # Large-but-finite: exp(masked - peak) underflows to exactly 0 without
+    # risking inf arithmetic in the peak subtraction.
+    neg = np.float32(-1e30)
+    n = cls_pad + frames * group
+    cmask = np.full((1, n), neg, np.float32)
+    cmask[0, 0] = 0.0
+    for f in range(frames):
+        lo = cls_pad + f * group
+        cmask[0, lo:lo + real_patches] = 0.0
+    smask = np.full((1, group), neg, np.float32)
+    smask[0, :real_patches] = 0.0
+    return cmask, smask
+
+
+def fused_fit_int8_layer_pad(x: jnp.ndarray, layer: Dict[str, Any],
+                             heads: int, frames: int, real_patches: int,
+                             cls_pad: int = 8, block_rows: int = 1,
+                             ln_eps: float = FIT_LN_EPS,
+                             interpret: Optional[bool] = None) -> jnp.ndarray:
+    """fused_fit_int8_layer on the pad8 layout: x is
+    (B, cls_pad + F*group, W) with group % 8 == 0 (build it with
+    models/frozen_in_time/fit_fast.py's pad8 path); real_patches counts the
+    valid rows per frame group, the rest are masked dead rows."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    batch, seq, width = x.shape
+    group = (seq - cls_pad) // frames
+    cmask, smask = pad8_masks(frames, real_patches, group, cls_pad)
+
+    invs, weights = _layer_weight_operands(layer)
+    operands = [x, invs, jnp.asarray(cmask), jnp.asarray(smask)] + weights
+    kernel = functools.partial(_fit_layer_pad_kernel, heads=heads,
+                               frames=frames, cls_pad=cls_pad,
+                               approx_recip=not interpret, ln_eps=ln_eps)
+
+    block = block_rows
+    while batch % block:
+        block -= 1
+    memory_space = pltpu.ANY if interpret else pltpu.VMEM
+    smem = pltpu.ANY if interpret else pltpu.SMEM
+    in_specs = [pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                             memory_space=memory_space)]
+    for idx, op in enumerate(operands[1:], start=1):
+        in_specs.append(pl.BlockSpec(
+            op.shape, lambda i, nd=op.ndim: (0,) * nd,
+            memory_space=smem if idx == 1 else memory_space))
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // block,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, seq, width), lambda i: (i, 0, 0),
+                               memory_space=memory_space),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, width), x.dtype),
+        interpret=interpret,
+        input_output_aliases={0: 0},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+    )(*operands)
 
 
 def _dense_operands(node: Dict[str, Any]):

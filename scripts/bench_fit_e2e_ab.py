@@ -43,19 +43,24 @@ def main() -> None:
         batch, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
     ).astype(np.float32)).astype(jnp.bfloat16)
 
-    def make_chain(split: bool):
+    def make_chain(**kw):
         @jax.jit
         def chain(video, steps):
             def body(i, carry):
                 v = video * (1.0 + i.astype(video.dtype)
                              * jnp.bfloat16(1e-6))
                 emb = encode_video_features_fast(qparams["video"], v, cfg,
-                                                 split=split)
+                                                 **kw)
                 return carry + jnp.sum(emb.astype(jnp.float32))
             return jax.lax.fori_loop(0, steps, body, jnp.float32(0.0))
         return chain
 
-    chains = {"joint": make_chain(False), "split": make_chain(True)}
+    import os
+    cases = os.environ.get("FIT_AB_CASES", "joint,pad8").split(",")
+    all_chains = {"joint": lambda: make_chain(),
+                  "split": lambda: make_chain(split=True),
+                  "pad8": lambda: make_chain(pad8=True)}
+    chains = {name: all_chains[name]() for name in cases}
     for r in range(rounds):
         for name, chain in chains.items():
             seconds = sustained_seconds_per_step(

@@ -95,3 +95,30 @@ def test_fit_split_layout_matches_joint_layout():
     emb_joint = encode_video_features_fast(qparams["video"], video, cfg,
                                            split=False)
     assert _cosine(emb_split, emb_joint) > 0.9995
+
+
+def test_fit_pad8_layout_matches_joint_layout():
+    """Round-4 PAD8 experiment (VERDICT r3 #2): the joint layout padded to
+    sublane-aligned frame groups ([CLS | 7 dead | F x ceil8(P) rows], dead
+    rows masked in-softmax) must reproduce the joint kernel's math — the
+    masked exps contribute exactly zero and dead rows never feed real ones."""
+    from fitclip_tpu.models.frozen_in_time.fit_fast import (
+        encode_video_features_fast)
+
+    cfg = FrozenInTimeConfig.tiny_test()
+    fp32 = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                        fused_attention=False)
+    params = fp32.init_params(jax.random.PRNGKey(0))
+    video = jax.random.normal(jax.random.PRNGKey(5),
+                              (2, cfg.num_frames, cfg.img_size,
+                               cfg.img_size, 3))
+    qparams = dict(params, video=quantize_fit_video_params(params["video"]))
+    mk = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                      dtype="int8", fused_attention=False,
+                                      fused_block=True)
+    qparams = apply_act_scales(qparams, mk.collect_act_amax(qparams, video))
+
+    emb_pad = encode_video_features_fast(qparams["video"], video, cfg,
+                                         pad8=True)
+    emb_joint = encode_video_features_fast(qparams["video"], video, cfg)
+    assert _cosine(emb_pad, emb_joint) > 0.9995
