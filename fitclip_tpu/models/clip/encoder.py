@@ -96,10 +96,15 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         b, t = video.shape[0], video.shape[1]
         frames = self._prepare_frames(video)
         if self.fused_block:
+            import os
+
             from fitclip_tpu.models.clip.fast_eval import encode_frames_int8
 
-            embeddings = encode_frames_int8(params, frames, self.config,
-                                            dtype=self.model.dtype)
+            # CLIP_PAD_SEQ=640 lane-pads the vision sequence (masked keys)
+            # — the ViT-L/14@336px L=577 experiment knob (fast_eval).
+            embeddings = encode_frames_int8(
+                params, frames, self.config, dtype=self.model.dtype,
+                pad_seq=int(os.environ.get("CLIP_PAD_SEQ", "0")))
         else:
             embeddings = self.model.apply({"params": params}, frames,
                                           method=CLIPModel.encode_image)

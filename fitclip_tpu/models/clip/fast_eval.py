@@ -41,7 +41,8 @@ def _layer_norm(x, node, out_dtype, eps: float = LN_EPS):
 
 
 def _run_blocks(x, blocks: Dict[str, Any], heads: int, causal: bool,
-                quick_gelu: bool, block_rows: int, ln_eps: float = LN_EPS):
+                quick_gelu: bool, block_rows: int, ln_eps: float = LN_EPS,
+                seq_valid=None):
     # Quantized trees carry kernel_q leaves; float trees carry kernel.
     layer_fn = (fused_int8_layer
                 if "kernel_q" in blocks["attn"]["in_proj"] else fused_bf16_layer)
@@ -49,14 +50,16 @@ def _run_blocks(x, blocks: Dict[str, Any], heads: int, causal: bool,
     def body(h, layer):
         return layer_fn(h, layer, heads, causal=causal,
                         quick_gelu=quick_gelu,
-                        block_rows=block_rows, ln_eps=ln_eps), None
+                        block_rows=block_rows, ln_eps=ln_eps,
+                        seq_valid=seq_valid), None
 
     x, _ = jax.lax.scan(body, x, blocks)
     return x
 
 
 def encode_frames_fast(params, frames: jnp.ndarray, config: CLIPConfig,
-                       dtype=jnp.bfloat16, block_rows: int = 1) -> jnp.ndarray:
+                       dtype=jnp.bfloat16, block_rows: int = 1,
+                       pad_seq: int = 0) -> jnp.ndarray:
     """(N, H, W, 3) frames (uint8-folded or normalized floats) -> (N, D)."""
     cfg = config.vision
     v = params["visual"]
@@ -89,8 +92,18 @@ def encode_frames_fast(params, frames: jnp.ndarray, config: CLIPConfig,
         dtype)
     x = jnp.concatenate([jnp.broadcast_to(cls_row, (b, 1, cfg.width)), x],
                         axis=1)
+    # Lane padding (round-4, VERDICT r3 #5): odd non-128-multiple L (the
+    # ViT-L/14@336px worst case, L=577) pads to pad_seq dead rows at the
+    # tail; the kernels mask them as attention keys (seq_valid) and the CLS
+    # row 0 read below never sees them. Costs pad_seq/L extra row FLOPs.
+    seq = x.shape[1]
+    seq_valid = None
+    if pad_seq and pad_seq > seq:
+        x = jnp.pad(x, ((0, 0), (0, pad_seq - seq), (0, 0)))
+        seq_valid = seq
     x = _run_blocks(x, v["transformer"]["blocks"], cfg.heads, causal=False,
-                    quick_gelu=config.quick_gelu, block_rows=block_rows)
+                    quick_gelu=config.quick_gelu, block_rows=block_rows,
+                    seq_valid=seq_valid)
     x = _layer_norm(x[:, 0], v["ln_post"], dtype)
     return jnp.matmul(x, v["proj"].astype(dtype), precision=PRECISION)
 

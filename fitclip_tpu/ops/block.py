@@ -78,7 +78,7 @@ def _int8_dense(x_q, w_ref, scale_ref, bias_ref):
 
 
 def _attention_core(qkv, heads: int, scale: float, causal: bool, out_dtype,
-                    out_mul=None):
+                    out_mul=None, seq_valid=None):
     """Per-head multi-head attention on an in-VMEM (BB, L, 3W) qkv tensor.
 
     Measured fastest of the in-kernel layouts on v5e (bench_block_layer:
@@ -103,6 +103,13 @@ def _attention_core(qkv, heads: int, scale: float, causal: bool, out_dtype,
         row = jax.lax.broadcasted_iota(jnp.int32, (block_b, seq, seq), 1)
         col = jax.lax.broadcasted_iota(jnp.int32, (block_b, seq, seq), 2)
         causal_mask = col <= row
+    if seq_valid is not None and seq_valid < seq:
+        # Lane-padded sequence (round-4 ViT-L/336 experiment): rows past
+        # seq_valid are dead — exclude them as KEYS. Dead queries produce
+        # finite junk that row-local ops keep in place; the caller slices
+        # the pad rows off after the block stack.
+        pad_col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, seq), 2)
+        pad_mask = pad_col < seq_valid
 
     parts = []
     for h in range(heads):
@@ -114,6 +121,8 @@ def _attention_core(qkv, heads: int, scale: float, causal: bool, out_dtype,
             preferred_element_type=jnp.float32)
         if causal:
             logits = jnp.where(causal_mask, logits, jnp.finfo(jnp.float32).min)
+        if seq_valid is not None and seq_valid < seq:
+            logits = jnp.where(pad_mask, logits, -1e30)
         peak = jnp.max(logits, axis=-1, keepdims=True)
         exps = jnp.exp(logits - peak)
         denom = jnp.sum(exps, axis=-1, keepdims=True)
@@ -132,7 +141,8 @@ def _layer_kernel(x_ref, invs_ref,
                   fs2_ref, fb2_ref, kv_ref,
                   wp_ref, ps_ref, pb_ref, y_ref, *,
                   heads: int, causal: bool, quick_gelu: bool,
-                  approx_recip: bool = True, ln_eps: float = LN_EPS):
+                  approx_recip: bool = True, ln_eps: float = LN_EPS,
+                  seq_valid=None):
     x = x_ref[...]
     x32 = x.astype(jnp.float32)
     width = x.shape[-1]
@@ -144,7 +154,7 @@ def _layer_kernel(x_ref, invs_ref,
     # The requant multiplier rides the softmax normalizer (out_mul): the
     # core's output arrives pre-scaled, so quantization is one round/clip.
     att = _attention_core(qkv, heads, head_dim ** -0.5, causal, jnp.float32,
-                          out_mul=invs_ref[0, 1])
+                          out_mul=invs_ref[0, 1], seq_valid=seq_valid)
     att_q = jnp.clip(jnp.round(att), -127, 127).astype(jnp.int8)
     x32 = x32 + _int8_dense(att_q, wo_ref, os_ref, ob_ref)
 
@@ -203,7 +213,7 @@ def _bf16_layer_kernel(x_ref,
                        ln2_s_ref, ln2_b_ref, wf_ref, fb_ref,
                        wp_ref, pb_ref, y_ref, *,
                        heads: int, causal: bool, quick_gelu: bool,
-                       ln_eps: float = LN_EPS):
+                       ln_eps: float = LN_EPS, seq_valid=None):
     """Float twin of _layer_kernel: same whole-layer fusion, plain matmuls in
     the compute dtype with fp32 accumulation (weights are pre-cast operands,
     VMEM-resident via constant index maps)."""
@@ -227,7 +237,8 @@ def _bf16_layer_kernel(x_ref,
 
     h1 = _ln(x32, ln1_s_ref, ln1_b_ref, ln_eps)
     qkv = dense(h1, wq_ref, qb_ref).astype(x.dtype)
-    att = _attention_core(qkv, heads, head_dim ** -0.5, causal, jnp.float32)
+    att = _attention_core(qkv, heads, head_dim ** -0.5, causal, jnp.float32,
+                          seq_valid=seq_valid)
     x32 = x32 + dense(att, wo_ref, ob_ref)
 
     h2 = _ln(x32, ln2_s_ref, ln2_b_ref, ln_eps)
@@ -281,7 +292,8 @@ def _launch(kernel, operands, block_rows: int, interpret: bool,
 def fused_bf16_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
                      causal: bool = False, quick_gelu: bool = True,
                      block_rows: int = 1, ln_eps: float = LN_EPS,
-                     interpret: Optional[bool] = None) -> jnp.ndarray:
+                     interpret: Optional[bool] = None,
+                     seq_valid: Optional[int] = None) -> jnp.ndarray:
     """Float-path whole-layer kernel: x (B, L, W) + one UNstacked float layer
     node (ln_1, attn.in_proj/out_proj, ln_2, mlp_fc, mlp_proj with
     kernel/bias leaves) -> (B, L, W). Weights are cast to x.dtype outside the
@@ -311,7 +323,8 @@ def fused_bf16_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
         w(layer["mlp_proj"]), b(layer["mlp_proj"]),
     ]
     kernel = functools.partial(_bf16_layer_kernel, heads=heads, causal=causal,
-                               quick_gelu=quick_gelu, ln_eps=ln_eps)
+                               quick_gelu=quick_gelu, ln_eps=ln_eps,
+                               seq_valid=seq_valid)
     return _launch(kernel, operands, block_rows, interpret)
 
 
@@ -328,7 +341,8 @@ def _dense_operands(node: Dict[str, Any]):
 def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
                      causal: bool = False, quick_gelu: bool = True,
                      block_rows: int = 1, ln_eps: float = LN_EPS,
-                     interpret: Optional[bool] = None) -> jnp.ndarray:
+                     interpret: Optional[bool] = None,
+                     seq_valid: Optional[int] = None) -> jnp.ndarray:
     """x (B, L, W) bf16 + one layer's param node (UNstacked: ln_1, attn.in_proj,
     attn.out_proj, ln_2, mlp_fc, mlp_proj) -> (B, L, W) bf16.
 
@@ -367,5 +381,5 @@ def fused_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
     ]
     kernel = functools.partial(_layer_kernel, heads=heads, causal=causal,
                                quick_gelu=quick_gelu, approx_recip=not interpret,
-                               ln_eps=ln_eps)
+                               ln_eps=ln_eps, seq_valid=seq_valid)
     return _launch(kernel, operands, block_rows, interpret, smem_idx=(1,))

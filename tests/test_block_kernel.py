@@ -118,3 +118,22 @@ def test_megakernel_block_rows_divisor(quantized_setup):
                               block_rows=3)
     np.testing.assert_allclose(np.asarray(out1, np.float32),
                                np.asarray(out3, np.float32), atol=2e-5)
+
+
+def test_lane_padded_sequence_matches_unpadded(quantized_setup):
+    """Round-4 ViT-L/336 lever (VERDICT r3 #5): pad_seq appends masked dead
+    rows so odd L avoids Mosaic's (L, L) tile-padding worst case. The padded
+    forward must reproduce the unpadded embeddings — dead rows are excluded
+    as attention keys and row 0 (CLS) never reads them."""
+    from fitclip_tpu.models.clip.fast_eval import encode_frames_int8
+
+    config, model, params, qparams = quantized_setup
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+
+    base = encode_frames_int8(qparams, images, config, dtype=jnp.float32)
+    padded = encode_frames_int8(qparams, images, config, dtype=jnp.float32,
+                                pad_seq=96)
+    np.testing.assert_allclose(np.asarray(padded, np.float32),
+                               np.asarray(base, np.float32),
+                               atol=2e-5, rtol=2e-5)
