@@ -263,9 +263,12 @@ def prepare_quantized_params(encoder, params, scales_path: Optional[str]):
             "quantized encoder: set EMBED_SCALES to the .npz written by an "
             "offline eval with ++quant.scales_path=... (serving never "
             "calibrates on live traffic)")
-    from fitclip_tpu.ops.quant import load_act_scales
+    from fitclip_tpu.ops.quant import load_act_scales, require_calibrated
 
-    return load_act_scales(scales_path, params)
+    params = load_act_scales(scales_path, params)
+    # Fail closed even if the .npz itself holds the uncalibrated sentinel.
+    require_calibrated(params, context="serving")
+    return params
 
 
 def _ensure_loaded():

@@ -185,3 +185,23 @@ def apply_act_scales(params, intermediates, margin: float = 1.0):
         return out
 
     return walk(params, intermediates)
+
+
+def require_calibrated(params, context: str = "serving") -> None:
+    """Fail closed on an int8 tree whose activation scales were never
+    calibrated. Freshly quantized sites carry the all-ones act_scale
+    sentinel (_quantize_dense_node); running them "calibrated" would
+    silently clip activations at abs-max 1.0. Serving paths call this after
+    loading persisted scales — serving never calibrates on live traffic.
+
+    (A genuinely calibrated site whose every observed abs-max is exactly
+    1.0 would false-positive here; real activation maxima are continuous
+    fp32 values, so this does not occur in practice.)"""
+    stale = [path for path, node in _act_scale_items(params)
+             if np.all(np.asarray(node["act_scale"]) == 1.0)]
+    if stale:
+        raise ValueError(
+            f"{context}: {len(stale)} quantized site(s) have uncalibrated "
+            f"activation scales (all-ones sentinel), e.g. {stale[:3]} — "
+            "calibrate offline (command=evaluate ++encoder.dtype=int8 "
+            "++quant.scales_path=...) and load the persisted .npz first")

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Prove the PRODUCTION serving config survives AOT export: serialize the
-int8-megakernel ViT-B/16 video tower with jax.export (Mosaic custom calls
-exempted from the compatibility check), reload it, and cosine-gate the
-reloaded program against the live encoder on the same device.
+"""Prove the PRODUCTION serving configs survive AOT export: serialize an
+int8-megakernel video tower with jax.export (Mosaic custom calls exempted
+from the compatibility check), reload it, and cosine-gate the reloaded
+program against the live encoder on the same device.
 
 Pallas programs serialize as `tpu_custom_call`s whose payload is pinned to
 the lowering version — same-version reloads (the deployment case: artifact
@@ -10,7 +10,12 @@ built and served by one pinned environment) are exact; jax.export's default
 safety check refuses them precisely because CROSS-version stability is not
 guaranteed, hence the explicit exemption.
 
-Prints one JSON line per step. Encoder/quantization setup mirrors bench.py.
+CHECK_EXPORT_FAMILY selects the encoder family:
+  clip (default) — int8 whole-layer megakernel ViT-B/16 (mirrors bench.py)
+  fit            — int8 whole-SpaceTimeBlock megakernel Frozen-in-Time
+                   (VERDICT r3 #6: serving breadth beyond CLIP)
+
+Prints one JSON line per step.
 """
 import json
 import os
@@ -22,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main() -> None:
+def _build_clip(rng):
     import jax
     import jax.numpy as jnp
 
@@ -30,7 +35,6 @@ def main() -> None:
     from fitclip_tpu.models.clip.encoder import ClipVideoTextEncoder
     from fitclip_tpu.models.clip.model import fold_pixel_normalization
     from fitclip_tpu.ops.quant import quantize_clip_params
-    from fitclip_tpu.serving.export import export_encode_fn, load_exported
 
     batch = int(os.environ.get("BENCH_CLIPS", "32"))
     bf16_encoder = ClipVideoTextEncoder(CLIPConfig.vit_b_16(), num_frames=4,
@@ -39,25 +43,62 @@ def main() -> None:
     params = bf16_encoder.init_params(jax.random.PRNGKey(0))
     params = fold_pixel_normalization(params, bf16_encoder.preprocess.mean,
                                       bf16_encoder.preprocess.std)
-
     encoder = ClipVideoTextEncoder(CLIPConfig.vit_b_16(), num_frames=4,
                                    dtype=jnp.bfloat16, fused_attention=True,
                                    pixel_normalization_folded=True,
                                    quantized=True)
-    rng = np.random.default_rng(0)
     video = rng.integers(0, 256, size=(batch, 4, 224, 224, 3), dtype=np.uint8)
     calib_text = jnp.asarray(rng.integers(1, 49408, size=(32, 77)).astype(np.int32))
-    bench_params = quantize_clip_params(params)
-    bench_params = encoder.calibrate(bench_params, jnp.asarray(video[:8]),
-                                     calib_text)
+    qp = quantize_clip_params(params)
+    qp = encoder.calibrate(qp, jnp.asarray(video[:8]), calib_text)
+    return encoder, qp, video
+
+
+def _build_fit(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.models.frozen_in_time.encoder import (
+        FrozenInTimeConfig, FrozenInTimeVideoTextEncoder,
+        quantize_fit_video_params)
+
+    batch = int(os.environ.get("BENCH_CLIPS", "32"))
+    cfg = FrozenInTimeConfig()
+    fp = FrozenInTimeVideoTextEncoder(cfg, num_frames=4,
+                                      fused_attention=False)
+    params = fp.init_params(jax.random.PRNGKey(0))
+    encoder = FrozenInTimeVideoTextEncoder(cfg, num_frames=4, dtype="int8",
+                                           fused_attention=True,
+                                           fused_block=True)
+    qp = dict(params, video=quantize_fit_video_params(params["video"]))
+    video = rng.integers(0, 256, size=(batch, 4, cfg.img_size, cfg.img_size, 3),
+                         dtype=np.uint8)
+    qp = encoder.calibrate(qp, jnp.asarray(video[:8]))
+    return encoder, qp, video
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fitclip_tpu.ops.quant import require_calibrated
+    from fitclip_tpu.serving.export import export_encode_fn, load_exported
+
+    family = os.environ.get("CHECK_EXPORT_FAMILY", "clip")
+    rng = np.random.default_rng(0)
+    encoder, bench_params, video = {"clip": _build_clip,
+                                    "fit": _build_fit}[family](rng)
+    require_calibrated(bench_params, context="export")
     bench_params = jax.device_put(bench_params)
+    batch = video.shape[0]
 
     direct = np.asarray(
         jax.jit(encoder.encode_video)(bench_params, jnp.asarray(video)),
         np.float32)
-    print(json.dumps({"step": "direct", "shape": list(direct.shape)}), flush=True)
+    print(json.dumps({"step": "direct", "family": family,
+                      "shape": list(direct.shape)}), flush=True)
 
-    out_dir = tempfile.mkdtemp(prefix="int8_export_")
+    out_dir = tempfile.mkdtemp(prefix=f"int8_export_{family}_")
     paths = export_encode_fn(encoder.encode_video, bench_params,
                              video[0], (batch,), out_dir, "video",
                              allow_custom_calls=("tpu_custom_call",))
