@@ -12,8 +12,19 @@ POS-lite: specs may also use {"POS": ...} with the universal coarse tags
 Tagging is lexicon + suffix heuristics and AMBIGUITY-TOLERANT: a word matches
 a requested POS when that tag is plausible for it ("run" matches both VERB
 and NOUN), which approximates the reference's transformer tagger without the
-undownloadable model. DEP patterns (a full parser) stay unsupported and
-raise.
+undownloadable model.
+
+DEP-lite: specs may use {"DEP": ...} with a heuristic subset of spaCy's
+English labels, derived from the POS-lite tags by local word order (no
+parser): nominals before a nearby verb are "nsubj" candidates, nominals
+after a verb are "dobj"/"obj"/"iobj" candidates, nominals after a
+preposition are "pobj", determiners "det", adjectives before a nominal
+"amod", prepositions "prep", verbs "ROOT". Like POS-lite it is
+AMBIGUITY-TOLERANT — a word matches a requested label when that label is
+plausible — which makes the reference demo's own example query
+(reference demo/app.py:20, [{"LOWER": "this", "DEP": {"IN": ["nsubj",
+"dobj", "iobj"]}}]) runnable without the spaCy transformer parser. Labels
+outside the heuristic set raise (documented unsupported).
 """
 
 import json
@@ -105,6 +116,55 @@ def _plausible_pos(word: str) -> Set[str]:
     return tags
 
 
+_SUPPORTED_DEPS = {"nsubj", "dobj", "obj", "iobj", "pobj", "det", "amod",
+                   "prep", "ROOT"}
+_NOMINAL = {"NOUN", "PROPN", "PRON"}
+
+
+def _plausible_deps(words: Sequence[str], index: int) -> Set[str]:
+    """Heuristic dependency-label candidates for words[index] from local
+    word order over the POS-lite tags (see module docstring). Ambiguity-
+    tolerant by construction: every plausible reading contributes."""
+    pos = _plausible_pos(words[index])
+    deps: Set[str] = set()
+    window = 4
+
+    def tags(j: int) -> Set[str]:
+        return _plausible_pos(words[j]) if 0 <= j < len(words) else set()
+
+    if pos & {"VERB", "AUX"}:
+        deps.add("ROOT")
+    if "DET" in pos:
+        deps.add("det")
+    if "ADP" in pos:
+        deps.add("prep")
+    if "ADJ" in pos and tags(index + 1) & _NOMINAL:
+        deps.add("amod")
+    if pos & _NOMINAL:
+        # Preposition immediately before (or one determiner/adjective in
+        # between) -> prepositional object.
+        for back in (1, 2):
+            between = [tags(index - k) for k in range(1, back)]
+            if "ADP" in tags(index - back) and all(
+                    t & {"DET", "ADJ", "NUM"} for t in between):
+                deps.add("pobj")
+                break
+        # A verb ahead within the window -> subject candidate.
+        if any("VERB" in tags(index + k) or "AUX" in tags(index + k)
+               for k in range(1, window + 1)):
+            deps.add("nsubj")
+        # A verb behind within the window, with no preposition in between
+        # (that reading is pobj) -> object candidate.
+        for k in range(1, window + 1):
+            behind = tags(index - k)
+            if "ADP" in behind and k > 1:
+                break
+            if "VERB" in behind:
+                deps.update({"dobj", "obj", "iobj"})
+                break
+    return deps
+
+
 def list_caption_paths(dir_path: str) -> Iterator[str]:
     with os.scandir(dir_path) as entries:
         for entry in entries:
@@ -151,9 +211,11 @@ def load_captions(dir_path: str) -> List[Dict[str, Any]]:
     return captions
 
 
-def _token_matches(spec: Mapping[str, Any], word: str) -> bool:
+def _token_matches(spec: Mapping[str, Any], words: Sequence[str],
+                   index: int) -> bool:
     if not spec:
         return True  # wildcard {}
+    word = words[index]
     lower = word.lower()
     for key, expected in spec.items():
         if key == "OP":
@@ -162,6 +224,17 @@ def _token_matches(spec: Mapping[str, Any], word: str) -> bool:
             wanted = (set(expected["IN"]) if isinstance(expected, Mapping)
                       else {expected})
             if not wanted & _plausible_pos(word):
+                return False
+            continue
+        if key == "DEP":
+            wanted = (set(expected["IN"]) if isinstance(expected, Mapping)
+                      else {expected})
+            unsupported = wanted - _SUPPORTED_DEPS
+            if unsupported:
+                raise ValueError(
+                    f"Unsupported DEP label(s) {sorted(unsupported)} — "
+                    f"DEP-lite covers {sorted(_SUPPORTED_DEPS)}")
+            if not wanted & _plausible_deps(words, index):
                 return False
             continue
         if key not in ("LOWER", "ORTH", "TEXT"):
@@ -187,11 +260,11 @@ def _match_from(pattern: Sequence[Mapping[str, Any]], words: Sequence[str],
         spec = pattern[piece_index]
         op = spec.get("OP", "1")
         if op == "1":
-            if position < len(words) and _token_matches(spec, words[position]):
+            if position < len(words) and _token_matches(spec, words, position):
                 return match_piece(piece_index + 1, position + 1)
             return None
         if op == "?":
-            if position < len(words) and _token_matches(spec, words[position]):
+            if position < len(words) and _token_matches(spec, words, position):
                 result = match_piece(piece_index + 1, position + 1)
                 if result is not None:
                     return result
@@ -199,7 +272,7 @@ def _match_from(pattern: Sequence[Mapping[str, Any]], words: Sequence[str],
         if op in ("*", "+"):
             minimum = 1 if op == "+" else 0
             count = 0
-            while position + count < len(words) and _token_matches(spec, words[position + count]):
+            while position + count < len(words) and _token_matches(spec, words, position + count):
                 count += 1
             for take in range(count, minimum - 1, -1):
                 result = match_piece(piece_index + 1, position + take)

@@ -130,8 +130,39 @@ def test_pos_lite_patterns(captions):
     spans = list(search_in_subtitles(
         captions, [{"LOWER": "cat"}, {"POS": {"IN": ["VERB", "AUX"]}}]))
     assert any(s["text"] == "cat sits" for s in spans)
-    # DEP needs a parser; stays loudly unsupported.
+    # DEP labels outside the DEP-lite heuristic set stay loudly unsupported
+    # (full-parser labels like clausal complements need a real parser).
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        list(search_in_subtitles(captions, [{"DEP": "nsubj"}]))
+        list(search_in_subtitles(captions, [{"DEP": "ccomp"}]))
+
+
+def test_dep_lite_patterns(captions):
+    """Round-4 DEP-lite (VERDICT r3 #8): heuristic subject/object labels
+    over the POS-lite tags make spaCy DEP patterns runnable. 'cat' precedes
+    the verb -> nsubj; 'mat' follows a preposition -> pobj (and not nsubj:
+    no verb ahead of it)."""
+    subj = list(search_in_subtitles(captions, [{"DEP": "nsubj"}]))
+    assert "cat" in {r["text"] for r in subj}
+    assert all(r["text"] != "mat" for r in subj)
+    pobj = list(search_in_subtitles(captions, [{"DEP": "pobj"}]))
+    assert "mat" in {r["text"] for r in pobj}
+    root = list(search_in_subtitles(captions, [{"DEP": "ROOT"}]))
+    assert "sits" in {r["text"] for r in root}
+    det = list(search_in_subtitles(captions, [{"LOWER": "the"},
+                                              {"DEP": "pobj"}]))
+    assert {"the mat"} <= {r["text"] for r in det}
+
+
+def test_dep_lite_reference_example_query(captions):
+    """The reference demo's own documented query shape
+    (demo/app.py:20: token constrained to subject/object labels) runs."""
+    pattern = [{"LOWER": "cat", "DEP": {"IN": ["nsubj", "dobj", "iobj"]}}]
+    results = list(search_in_subtitles(captions, pattern))
+    assert [r["text"] for r in results] == ["cat"]
+
+
+def test_dep_lite_unsupported_label_raises(captions):
+    with pytest.raises(ValueError, match="Unsupported DEP"):
+        list(search_in_subtitles(captions, [{"DEP": "xcomp"}]))
