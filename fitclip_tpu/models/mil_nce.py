@@ -149,7 +149,10 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
         video = self.video_model.init(
             rng_v, jnp.zeros((1, self.num_frames, 32, 32, 3)))["params"]
         text = self.text_model.init(rng_t, jnp.zeros((1, 20), jnp.int32))["params"]
-        return {"video": video, "text": text}
+        params = {"video": video, "text": text}
+        # Zoo convention (CLIP/FiT): quantized encoders init a float twin
+        # and quantize, so random-init tests/benches carry real weights.
+        return self.quantize_params(params) if self.quantized else params
 
     def encode_video(self, params, video: jnp.ndarray) -> jnp.ndarray:
         """(B, T, H, W, C) raw pixels -> (B, 512). No L2 norm (the reference
@@ -184,6 +187,14 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
         s3dg_fast_apply(params["video"], video, dtype=self.dtype,
                         int8=True, collect=collect)
         return {"video": {"int8": collect}}
+
+    def calibrate(self, params, video: jnp.ndarray, text=None,
+                  margin: float = 1.0):
+        """Single-batch PTQ calibration; returns the calibrated params tree."""
+        from fitclip_tpu.ops.quant import apply_act_scales
+
+        return apply_act_scales(
+            params, self.collect_act_amax(params, video, text), margin=margin)
 
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
         return self.text_model.apply({"params": params["text"]}, text)

@@ -107,6 +107,8 @@ def quantize_s3dg_fast(params) -> dict:
     """S3DG param tree -> same tree + an "int8" subtree of quantized
     matmul sites (BN folded fp32 first; per-out-channel weight scales;
     per-tensor activation scales, ones until calibrated)."""
+    if "int8" in params:  # idempotent: already-quantized tree passes through
+        return params
     params = jax.tree_util.tree_map(np.asarray, dict(params))
 
     def folded2d(conv, bn):

@@ -317,7 +317,8 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
             rng_m, jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32),
             method=VideoClipModel.forward_text)["params"]
         model.update({k: v for k, v in text.items() if k not in model})
-        return {"s3dg": s3dg, "model": model}
+        params = {"s3dg": s3dg, "model": model}
+        return self.quantize_params(params) if self.quantized else params
 
     def encode_video(self, params, video: jnp.ndarray) -> jnp.ndarray:
         """(B, T, H, W, C) raw pixels -> (B, hidden): consecutive
@@ -365,6 +366,14 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
         s3dg_fast_apply(params["s3dg"], clips, dtype=self.dtype,
                         int8=True, collect=collect)
         return {"s3dg": {"int8": collect}}
+
+    def calibrate(self, params, video: jnp.ndarray, text=None,
+                  margin: float = 1.0):
+        """Single-batch PTQ calibration; returns the calibrated params tree."""
+        from fitclip_tpu.ops.quant import apply_act_scales
+
+        return apply_act_scales(
+            params, self.collect_act_amax(params, video, text), margin=margin)
 
     def encode_text(self, params, text: jnp.ndarray) -> jnp.ndarray:
         attention_mask = (text != 0).astype(jnp.int32)

@@ -63,6 +63,17 @@ def _families():
                          16, None, 66250),
         "videoclip": (lambda: VideoClipVideoTextEncoder(dtype=jnp.bfloat16),
                       8, None, 30522),
+        # Round-4: W8A8 on the S3DG tower's matmul-shaped convs (merged
+        # branch stems / b3 / conv_2b / FC — models/s3dg_fast.py); gated
+        # int8-vs-bf16 like the other int8 rows.
+        "mil_nce_s3dg_int8": (lambda: MilNceVideoTextEncoder(dtype="int8"),
+                              16,
+                              lambda: MilNceVideoTextEncoder(dtype=jnp.bfloat16),
+                              66250),
+        "videoclip_int8": (lambda: VideoClipVideoTextEncoder(dtype="int8"),
+                           8,
+                           lambda: VideoClipVideoTextEncoder(dtype=jnp.bfloat16),
+                           30522),
     }
 
 

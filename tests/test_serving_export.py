@@ -8,9 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fitclip_tpu.serving.export import (disable_compilation_cache,
-                                        enable_compilation_cache,
-                                        export_encode_fn, load_exported)
+from fitclip_tpu.serving.export import export_encode_fn, load_exported
 
 
 @pytest.fixture()
@@ -92,35 +90,60 @@ def test_text_service_serves_from_exported_artifacts(tiny_encoder, tmp_path,
         service.stop()
 
 
+# The two persistent-cache tests run their bodies in a SUBPROCESS: flipping
+# XLA's process-level cache singleton inside the long-lived suite process is
+# exactly the kind of global compile-state mutation implicated in the
+# order-dependent late-suite compile crash (see tests/conftest.py's
+# clear-caches fixture note and serving/export.py's disable docstring). A
+# throwaway interpreter exercises the real enable/jit/populate path with
+# zero residue.
+
+
+def _run_in_subprocess(body: str) -> None:
+    import subprocess
+    import sys
+
+    script = ("import jax\n"
+              "jax.config.update('jax_platforms', 'cpu')\n"
+              "import os\n"
+              "import numpy as np\n"
+              "import jax.numpy as jnp\n" + body)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", script], env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, f"subprocess failed:\n{proc.stdout}\n{proc.stderr}"
+
+
 def test_compilation_cache_populates(tmp_path):
     cache_dir = str(tmp_path / "xla_cache")
-    enable_compilation_cache(cache_dir)
-    try:
-        x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
-        np.asarray(jax.jit(lambda a: (a @ a.T).sum(axis=0) * 3.0)(x))
-        entries = os.listdir(cache_dir)
-        assert entries, "persistent compilation cache wrote no entries"
-    finally:
-        # Dropping the singleton matters: pytest deletes tmp_path afterwards
-        # and a live cache pointed at it can crash later unrelated compiles.
-        disable_compilation_cache()
+    _run_in_subprocess(f"""
+from fitclip_tpu.serving.export import enable_compilation_cache, disable_compilation_cache
+cache_dir = {cache_dir!r}
+enable_compilation_cache(cache_dir)
+x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+np.asarray(jax.jit(lambda a: (a @ a.T).sum(axis=0) * 3.0)(x))
+assert os.listdir(cache_dir), "persistent compilation cache wrote no entries"
+disable_compilation_cache()
+""")
 
 
 def test_cli_compilation_cache_knob(tmp_path):
     """++compilation_cache_dir wires the persistent cache through run()."""
-    from fitclip_tpu.cli.main import run
-
     cache_dir = str(tmp_path / "cli_cache")
-    try:
-        # Unknown command still exits early — but AFTER the cache config is
-        # applied, which is all this knob test needs; a jit afterwards
-        # lands in the configured directory.
-        with pytest.raises(SystemExit):
-            run({"command": "bogus", "compilation_cache_dir": cache_dir})
-        np.asarray(jax.jit(lambda a: a * 2 + 1)(jnp.arange(256.0).reshape(16, 16)))
-        assert os.listdir(cache_dir)
-    finally:
-        disable_compilation_cache()
+    _run_in_subprocess(f"""
+from fitclip_tpu.cli.main import run
+cache_dir = {cache_dir!r}
+# Unknown command still exits early — but AFTER the cache config is applied,
+# which is all this knob test needs; a jit afterwards lands in the directory.
+try:
+    run({{"command": "bogus", "compilation_cache_dir": cache_dir}})
+    raise AssertionError("expected SystemExit")
+except SystemExit:
+    pass
+np.asarray(jax.jit(lambda a: a * 2 + 1)(jnp.arange(256.0).reshape(16, 16)))
+assert os.listdir(cache_dir)
+""")
 
 
 def test_export_serves_non_clip_family_fit_int8(tmp_path):
