@@ -198,7 +198,33 @@ def main() -> None:
         if case.startswith("b") and case[1:].isdigit():
             mode, block_rows = "full", int(case[1:])
 
-        if mode.startswith("split"):
+        if mode == "pad8":
+            # Round-4 alignment experiment: same math on the padded layout
+            # ([CLS | 7 dead | F x ceil8(P)] rows, masked dead keys) so every
+            # frame slice is sublane-aligned. Per-layer standalone twin of
+            # bench_fit_e2e_ab's pad8 arm.
+            from fitclip_tpu.ops.fit_block import fused_fit_int8_layer_pad
+            patches = (n - 1) // cfg.num_frames
+            group = -(-patches // 8) * 8
+            pad_n = 8 + cfg.num_frames * group
+            xp8 = jnp.pad(
+                x[:, 1:].reshape(batch, cfg.num_frames, patches, cfg.embed_dim),
+                ((0, 0), (0, 0), (0, group - patches), (0, 0)))
+            x8 = jnp.concatenate([
+                x[:, :1], jnp.zeros((batch, 7, cfg.embed_dim), x.dtype),
+                xp8.reshape(batch, cfg.num_frames * group, cfg.embed_dim)],
+                axis=1)
+            assert x8.shape[1] == pad_n
+
+            @jax.jit
+            def chain(x, steps, x8=x8):
+                def body(i, carry):
+                    return fused_fit_int8_layer_pad(
+                        carry * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-6)),
+                        layer, cfg.num_heads, cfg.num_frames,
+                        real_patches=patches)
+                return jax.lax.fori_loop(0, steps, body, x8)
+        elif mode.startswith("split"):
             from fitclip_tpu.ops.fit_block import fused_fit_int8_layer_split
             block_rows = int(mode[5:]) if mode[5:].isdigit() else 1
             patches = (n - 1) // cfg.num_frames

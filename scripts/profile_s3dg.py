@@ -21,11 +21,18 @@ def main() -> None:
     from fitclip_tpu.models.mil_nce import MilNceVideoTextEncoder
 
     batch = int(os.environ.get("BENCH_CLIPS", "16"))
-    encoder = MilNceVideoTextEncoder(dtype=jnp.bfloat16)
+    # S3DG_DTYPE=int8 traces the round-4 W8A8 matmul-conv path (calibrated
+    # on a slice of the bench batch first, mirroring bench_families).
+    dtype = os.environ.get("S3DG_DTYPE", "bfloat16")
+    encoder = MilNceVideoTextEncoder(dtype=dtype if dtype == "int8"
+                                     else jnp.dtype(dtype))
     params = jax.device_put(encoder.init_params(jax.random.PRNGKey(0)))
     rng = np.random.default_rng(0)
     video = jnp.asarray(
         rng.normal(size=(batch, 16, 224, 224, 3)).astype(np.float32))
+    if getattr(encoder, "quantized", False):
+        params = jax.device_put(
+            encoder.calibrate(jax.device_get(params), video[:8]))
 
     @jax.jit
     def run(params, video, bump):
