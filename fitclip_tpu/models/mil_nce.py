@@ -167,9 +167,16 @@ class MilNceVideoTextEncoder(VideoTextEncoder):
         return self.video_model.apply({"params": params["video"]}, video)
 
     def quantize_params(self, params) -> dict:
+        import os
+
         from fitclip_tpu.models.s3dg_fast import quantize_s3dg_fast
 
-        return {"video": quantize_s3dg_fast(params["video"]),
+        # S3DG_INT8_FROM picks the first quantized block (measurement knob;
+        # the default skips the bandwidth-bound 56^2/28^2 stages — see
+        # quantize_s3dg_fast's measured-negative note).
+        return {"video": quantize_s3dg_fast(
+                    params["video"],
+                    from_block=os.environ.get("S3DG_INT8_FROM", "mixed_4b")),
                 "text": params["text"]}
 
     def collect_act_amax(self, params, video: jnp.ndarray,

@@ -103,22 +103,34 @@ def _quantized_matmul_site(kernel2d: jnp.ndarray, bias: jnp.ndarray) -> dict:
     return node
 
 
-def quantize_s3dg_fast(params) -> dict:
+def quantize_s3dg_fast(params, from_block: str = "mixed_4b") -> dict:
     """S3DG param tree -> same tree + an "int8" subtree of quantized
     matmul sites (BN folded fp32 first; per-out-channel weight scales;
-    per-tensor activation scales, ones until calibrated)."""
+    per-tensor activation scales, ones until calibrated).
+
+    from_block bounds quantization to blocks from that point on (+ the FC):
+    quantizing EVERY site measured NEGATIVE on v5e (MIL-NCE 1512 vs 1675
+    bf16 clips/s) — the 56^2-stage sites are bandwidth-bound (400k
+    activation rows, 64-192 channels) and the extra quantize/requant passes
+    outweigh the narrow int8 matmuls. From mixed_4b the spatial grid is
+    14^2 (~12k rows, 480-832 channels): matmul-bound. from_block=None or
+    "conv_2b" quantizes everything (the measured-negative ablation arm)."""
     if "int8" in params:  # idempotent: already-quantized tree passes through
         return params
     params = jax.tree_util.tree_map(np.asarray, dict(params))
+    names = list(_BLOCK_WIDTHS)
+    start = 0 if from_block in (None, "conv_2b") else names.index(from_block)
 
     def folded2d(conv, bn):
         kern, bias = _folded(conv, bn, jnp.float32)
         kern = np.asarray(kern)
         return kern.reshape(kern.shape[-2], kern.shape[-1]), np.asarray(bias)
 
-    q = {"conv_2b": _quantized_matmul_site(
-        *folded2d(params["conv_2b"]["conv1"], params["conv_2b"]["bn1"]))}
-    for name in _BLOCK_WIDTHS:
+    q = {}
+    if start == 0:
+        q["conv_2b"] = _quantized_matmul_site(
+            *folded2d(params["conv_2b"]["conv1"], params["conv_2b"]["bn1"]))
+    for name in names[start:]:
         block = params[name]
         kernels, biases = zip(*(folded2d(block[b]["conv1"], block[b]["bn1"])
                                 for b in ("conv_b0", "conv_b1_a", "conv_b2_a")))
@@ -280,7 +292,7 @@ def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
         else:
             x = conv(params["conv1"], x, (3, 7, 7), stride=2, padding=(1, 3, 3))
         x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
-    if q is not None:
+    if q is not None and "conv_2b" in q:
         x = _int8_conv1x1(q["conv_2b"], x, collect, "conv_2b")
     else:
         x = conv(params["conv_2b"], x, 1)

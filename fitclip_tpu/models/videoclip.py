@@ -344,9 +344,14 @@ class VideoClipVideoTextEncoder(VideoTextEncoder):
                                 method=VideoClipModel.forward_video)
 
     def quantize_params(self, params) -> dict:
+        import os
+
         from fitclip_tpu.models.s3dg_fast import quantize_s3dg_fast
 
-        return {"s3dg": quantize_s3dg_fast(params["s3dg"]),
+        # See MilNceVideoTextEncoder.quantize_params / quantize_s3dg_fast.
+        return {"s3dg": quantize_s3dg_fast(
+                    params["s3dg"],
+                    from_block=os.environ.get("S3DG_INT8_FROM", "mixed_4b")),
                 "model": params["model"]}
 
     def collect_act_amax(self, params, video: jnp.ndarray, text=None):

@@ -98,7 +98,7 @@ def test_int8_sites_calibrate_and_match_bf16():
     rng = np.random.default_rng(2)
     video = jnp.asarray(rng.random(size=(2, 16, 32, 32, 3)).astype(np.float32))
 
-    qparams = quantize_s3dg_fast(params)
+    qparams = quantize_s3dg_fast(params, from_block=None)  # every site: the ablation arm
     # Uncalibrated scales are the all-ones sentinel.
     assert float(np.ptp(qparams["int8"]["mixed_3b"]["merged"]["act_scale"])) == 0.0
 
@@ -130,7 +130,7 @@ def test_int8_sites_calibrate_and_match_bf16():
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "scales.npz")
         save_act_scales(path, qparams)
-        fresh = quantize_s3dg_fast(params)
+        fresh = quantize_s3dg_fast(params, from_block=None)
         fresh = load_act_scales(path, fresh)
         np.testing.assert_array_equal(
             fresh["int8"]["mixed_5c"]["b3"]["act_scale"],
@@ -159,6 +159,7 @@ def test_int8_wired_into_encoders():
         size=(1, 16, 32, 32, 3)).astype(np.float32))
     amax = enc.collect_act_amax(params, video)
     assert "fc" in amax["video"]["int8"]
+    assert "mixed_3b" not in amax["video"]["int8"]  # early stages stay bf16 by default
     emb = enc.encode_video(params, video)
     assert emb.shape == (1, 512)
 
@@ -168,6 +169,6 @@ def test_int8_wired_into_encoders():
     assert vc.quantized and vc.model.dtype == jnp.bfloat16
     vparams = vc.quantize_params(vc.init_params(jax.random.PRNGKey(1)))
     vamax = vc.collect_act_amax(vparams, video)
-    assert "conv_2b" in vamax["s3dg"]["int8"]
+    assert "mixed_4b" in vamax["s3dg"]["int8"]  # default from_block skips early stages
     vemb = vc.encode_video(vparams, video)
     assert vemb.shape == (1, vc.config.hidden_size)
