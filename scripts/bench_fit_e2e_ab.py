@@ -55,7 +55,6 @@ def main() -> None:
             return jax.lax.fori_loop(0, steps, body, jnp.float32(0.0))
         return chain
 
-    import os
     cases = os.environ.get("FIT_AB_CASES", "joint,pad8").split(",")
     all_chains = {"joint": lambda: make_chain(),
                   "split": lambda: make_chain(split=True),
