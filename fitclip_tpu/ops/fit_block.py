@@ -49,11 +49,15 @@ from fitclip_tpu.ops.quant import QUANT_EPS
 FIT_LN_EPS = 1e-6
 
 
-def _cls_global_row(qkv, heads: int, scale: float, out_mul, key_mask=None):
+def _cls_global_row(qkv, heads: int, scale: float, out_mul, key_mask=None,
+                    nq: int = 1):
     """The CLS token's attention over the FULL (BB, N, 3W) qkv: one query
     row per head, softmax over all N keys; the requant multiplier rides the
-    normalizer. Returns (BB, 1, W) fp32 (pre-scaled by out_mul).
-    key_mask (1, 1, N) of 0/-inf excludes dead rows in the pad8 layout."""
+    normalizer. Returns (BB, nq, W) fp32 (pre-scaled by out_mul).
+    key_mask (1, 1, N) of 0/-inf excludes dead rows in the pad8 layout;
+    nq>1 runs the first nq rows as queries (pad8: the whole 8-row CLS block
+    — rows 1..7 are dead and produce harmless junk, but the sublane-aligned
+    block avoids a ragged 7-row zero concat Mosaic can't lower)."""
     block_b, n, triple_w = qkv.shape
     width = triple_w // 3
     head_dim = width // heads
@@ -61,7 +65,7 @@ def _cls_global_row(qkv, heads: int, scale: float, out_mul, key_mask=None):
 
     parts = []
     for h in range(heads):
-        cq = qkv[:, :1, h * head_dim:(h + 1) * head_dim] * scale_q
+        cq = qkv[:, :nq, h * head_dim:(h + 1) * head_dim] * scale_q
         kh = qkv[:, :, width + h * head_dim:width + (h + 1) * head_dim]
         vh = qkv[:, :, 2 * width + h * head_dim:2 * width + (h + 1) * head_dim]
         logits = jax.lax.dot_general(
@@ -477,22 +481,27 @@ def _fit_layer_pad_kernel(x_ref, invs_ref, cmask_ref, smask_ref,
     patches = (n - cls_pad) // frames
     head_dim = width // heads
     scale = head_dim ** -0.5
-    cmask = cmask_ref[...].reshape(1, 1, n)
-    smask = smask_ref[...].reshape(1, 1, patches)
+    cmask = cmask_ref[...].reshape(1, cls_pad, n)
+    # Full-tile (P, P) mask: a (1, 1, P) operand broadcast over P sublanes
+    # crashed Mosaic's layout check ("limits 25 vs dim 1") — ship the
+    # materialized rows instead.
+    smask = smask_ref[...].reshape(1, patches, patches)
 
     def attention_half(h32, inv_in, wq_ref, qs_ref, qb_ref, inv_out,
                        wo_ref, os_ref, ob_ref, mode):
         h_q = _quant(h32, inv_in)
         qkv = _int8_dense(h_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
-        cls_out = _cls_global_row(qkv, heads, scale, inv_out, key_mask=cmask)
+        # The whole aligned CLS block rides the global-attention path (row 0
+        # real, rows 1..cls_pad-1 dead junk) — see _cls_global_row nq.
+        cls_out = _cls_global_row(qkv, heads, scale, inv_out, key_mask=cmask,
+                                  nq=cls_pad)
         if mode == "space":
             rows = _space_attention(qkv, heads, frames, patches, scale,
                                     inv_out, cls_pad=cls_pad, col_mask=smask)
         else:
             rows = _time_attention(qkv, heads, frames, patches, scale,
                                    inv_out, cls_pad=cls_pad)
-        dead = jnp.zeros((cls_out.shape[0], cls_pad - 1, width), jnp.float32)
-        att = jnp.concatenate([cls_out, dead, rows], axis=1)
+        att = jnp.concatenate([cls_out, rows], axis=1)
         att_q = jnp.clip(jnp.round(att), -127, 127).astype(jnp.int8)
         return _int8_dense(att_q, wo_ref, os_ref, ob_ref)
 
@@ -524,13 +533,16 @@ def pad8_masks(frames: int, real_patches: int, group: int, cls_pad: int):
     # risking inf arithmetic in the peak subtraction.
     neg = np.float32(-1e30)
     n = cls_pad + frames * group
-    cmask = np.full((1, n), neg, np.float32)
-    cmask[0, 0] = 0.0
+    # cmask rows are identical, materialized at (cls_pad, n) so the kernel
+    # never broadcasts along sublanes (Mosaic layout-check crash).
+    row = np.full((n,), neg, np.float32)
+    row[0] = 0.0
     for f in range(frames):
         lo = cls_pad + f * group
-        cmask[0, lo:lo + real_patches] = 0.0
-    smask = np.full((1, group), neg, np.float32)
-    smask[0, :real_patches] = 0.0
+        row[lo:lo + real_patches] = 0.0
+    cmask = np.broadcast_to(row, (cls_pad, n)).copy()
+    smask = np.full((group, group), neg, np.float32)
+    smask[:, :real_patches] = 0.0
     return cmask, smask
 
 
