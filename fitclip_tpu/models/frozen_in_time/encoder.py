@@ -182,12 +182,18 @@ class FrozenInTimeVideoTextEncoder(VideoTextEncoder):
     def encode_video(self, params, video: jnp.ndarray) -> jnp.ndarray:
         video = self._prepare_video(video)
         if self.fused_block:
+            import os
+
             from fitclip_tpu.models.frozen_in_time.fit_fast import (
                 encode_video_features_fast)
 
-            features = encode_video_features_fast(params["video"], video,
-                                                  self.config,
-                                                  dtype=self.dtype)
+            # pad8 (round-4): sublane-aligned frame groups, measured
+            # +1.9% e2e over the 1+F*P joint layout (585 vs 574 clips/s,
+            # 2 interleaved rounds, scripts/bench_fit_e2e_ab.py);
+            # parity-pinned in tests/test_fit_fast.py. FIT_PAD8=0 opts out.
+            features = encode_video_features_fast(
+                params["video"], video, self.config, dtype=self.dtype,
+                pad8=os.environ.get("FIT_PAD8", "1") != "0")
         else:
             features = self.video_model.apply({"params": params["video"]},
                                               video)
