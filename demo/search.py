@@ -157,7 +157,7 @@ def _plausible_deps(words: Sequence[str], index: int) -> Set[str]:
         # (that reading is pobj) -> object candidate.
         for k in range(1, window + 1):
             behind = tags(index - k)
-            if "ADP" in behind and k > 1:
+            if "ADP" in behind:
                 break
             if "VERB" in behind:
                 deps.update({"dobj", "obj", "iobj"})

@@ -37,7 +37,8 @@ class ClipVideoTextEncoder(VideoTextEncoder):
                  quantized: bool = False,
                  fused_block: Optional[bool] = None,
                  tokenizer: Optional[ClipTokenizer] = None,
-                 bpe_path: Optional[str] = None) -> None:
+                 bpe_path: Optional[str] = None,
+                 pad_seq: Optional[int] = None) -> None:
         self.config = config or CLIPConfig.vit_b_16()
         # quantized = int8 W8A8 block denses (eval-only; ops/quant.py). The
         # params tree must then come from quantize_clip_params.
@@ -61,6 +62,17 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         self.num_frames = num_frames
         self._tokenizer = tokenizer
         self._bpe_path = bpe_path
+        # Lane-pad of the fused-block vision sequence with masked keys — the
+        # ViT-L/14@336px L=577 experiment knob (measured negative both ways,
+        # BASELINE.md). A per-encoder config value (`++encoder.pad_seq=640`);
+        # the CLIP_PAD_SEQ env var remains as a bench-script default, read
+        # ONCE here at construction so post-compile flips can't silently
+        # no-op (round-4 advisor note).
+        if pad_seq is None:
+            import os
+
+            pad_seq = int(os.environ.get("CLIP_PAD_SEQ", "0"))
+        self.pad_seq = pad_seq
         self.preprocess = PreprocessSpec(
             num_frames=num_frames,
             image_size=self.config.vision.image_size,
@@ -96,15 +108,11 @@ class ClipVideoTextEncoder(VideoTextEncoder):
         b, t = video.shape[0], video.shape[1]
         frames = self._prepare_frames(video)
         if self.fused_block:
-            import os
-
             from fitclip_tpu.models.clip.fast_eval import encode_frames_int8
 
-            # CLIP_PAD_SEQ=640 lane-pads the vision sequence (masked keys)
-            # — the ViT-L/14@336px L=577 experiment knob (fast_eval).
             embeddings = encode_frames_int8(
                 params, frames, self.config, dtype=self.model.dtype,
-                pad_seq=int(os.environ.get("CLIP_PAD_SEQ", "0")))
+                pad_seq=self.pad_seq)
         else:
             embeddings = self.model.apply({"params": params}, frames,
                                           method=CLIPModel.encode_image)

@@ -37,7 +37,8 @@ def encode_video_features_fast(video_params, video: jnp.ndarray, config,
                                dtype=jnp.bfloat16,
                                block_rows: int = 1,
                                split: bool = False,
-                               pad8: bool = False) -> jnp.ndarray:
+                               pad8: bool = False,
+                               variant: str = "full") -> jnp.ndarray:
     """(B, F, H, W, 3) normalized video -> (B, embed_dim) CLS features
     through the per-block int8 megakernels. `config` is FrozenInTimeConfig
     (embed_dim/depth/num_heads/patch_size/img_size/num_frames).
@@ -112,6 +113,7 @@ def encode_video_features_fast(video_params, video: jnp.ndarray, config,
     x = jnp.concatenate([cls, x], axis=1)
     for i in range(cfg.depth):
         x = fused_fit_int8_layer(x, v[f"blocks_{i}"], cfg.num_heads,
-                                 frames=f, block_rows=block_rows)
+                                 frames=f, block_rows=block_rows,
+                                 variant=variant)
     x = _layer_norm(x, v["norm"], dtype)
     return x[:, 0]

@@ -19,9 +19,14 @@ The (L, L) logits never leave VMEM (the XLA einsum path materializes ~1 GB of
 fp32 logits in HBM per ViT-B layer at 512 frames). Softmax is manual: max and
 sum reductions in fp32 on lanes, scale folded into q.
 
-Backward pass: custom_vjp recomputes attention with plain einsums and takes
-their VJP — one extra forward of FLOPs, zero extra residual memory, exact
-gradients.
+Backward pass: custom_vjp with a single Pallas kernel (`_packed_bwd_kernel`)
+that recomputes the softmax weights in the forward's layouts and runs all
+four grad contractions in VMEM — bf16 operands, fp32 accumulation, zero
+transposes beyond the forward's K^T, and the (L, S) logits/weights/dW/dlogits
+never touch HBM. Only one forward of recompute FLOPs and no residual stash.
+When the per-row backward working set exceeds ~90 MB (`_bwd_vmem_bytes`, e.g.
+ViT-L@336's L=577) the kernel cannot fit scoped VMEM even at block=1, and the
+VJP falls back to `_einsum_attention_packed`'s plain-einsum gradient.
 """
 
 import functools

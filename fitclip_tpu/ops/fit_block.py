@@ -84,7 +84,8 @@ def _cls_global_row(qkv, heads: int, scale: float, out_mul, key_mask=None,
 
 
 def _space_attention(qkv, heads: int, frames: int, patches: int,
-                     scale: float, out_mul, cls_pad: int = 1, col_mask=None):
+                     scale: float, out_mul, cls_pad: int = 1, col_mask=None,
+                     with_cls: bool = True):
     """Divided SPACE attention on in-VMEM qkv (BB, 1+F*P, 3W): per frame the
     patch rows attend within the frame plus the clip's global CLS key/value
     (joined in logit space as index 0). Per-(frame, head) lane-slice form.
@@ -114,27 +115,31 @@ def _space_attention(qkv, heads: int, frames: int, patches: int,
                 preferred_element_type=jnp.float32)  # (BB, P, P)
             if col_mask is not None:
                 logits = logits + col_mask
-            cls_l = jax.lax.dot_general(
-                q, g_k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # (BB, P, 1)
-            logits = jnp.concatenate([cls_l, logits], axis=-1)
+            if with_cls:
+                cls_l = jax.lax.dot_general(
+                    q, g_k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (BB, P, 1)
+                logits = jnp.concatenate([cls_l, logits], axis=-1)
             peak = jnp.max(logits, axis=-1, keepdims=True)
             exps = jnp.exp(logits - peak)
             denom = jnp.sum(exps, axis=-1, keepdims=True)
             weights = (exps * (out_mul / denom)).astype(v.dtype)
+            body = weights[:, :, 1:] if with_cls else weights
             out = jax.lax.dot_general(
-                weights[:, :, 1:], v,
+                body, v,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # (BB, P, D)
-            out = out + weights[:, :, :1].astype(jnp.float32) * \
-                g_v.astype(jnp.float32)
+            if with_cls:
+                out = out + weights[:, :, :1].astype(jnp.float32) * \
+                    g_v.astype(jnp.float32)
             head_parts.append(out)
         frame_parts.append(jnp.concatenate(head_parts, axis=2))
     return jnp.concatenate(frame_parts, axis=1)
 
 
 def _time_attention(qkv, heads: int, frames: int, patches: int,
-                    scale: float, out_mul, cls_pad: int = 1):
+                    scale: float, out_mul, cls_pad: int = 1,
+                    with_cls: bool = True):
     """Divided TIME attention in natural layout (ops/attention.py
     _time_attention_kernel math): query frame f at location p attends over
     [CLS | frames g] at the same p; logits are lane reductions, softmax an
@@ -160,7 +165,8 @@ def _time_attention(qkv, heads: int, frames: int, patches: int,
         vs = [rows(off_v, g) for g in range(frames)]
         for f in range(frames):
             q_f = rows(off_q, f).astype(jnp.float32) * scale
-            logits = [jnp.sum(q_f * g_k, axis=-1, keepdims=True)]
+            logits = ([jnp.sum(q_f * g_k, axis=-1, keepdims=True)]
+                      if with_cls else [])
             logits += [jnp.sum(q_f * ks[g], axis=-1, keepdims=True)
                        for g in range(frames)]
             peak = logits[0]
@@ -171,9 +177,20 @@ def _time_attention(qkv, heads: int, frames: int, patches: int,
             for e in exps[1:]:
                 denom = denom + e
             inv = out_mul / denom
-            acc = (exps[0] * inv) * g_v
-            for g in range(frames):
-                acc = acc + (exps[g + 1] * inv) * vs[g].astype(jnp.float32)
+            if with_cls:
+                acc = (exps[0] * inv) * g_v
+                frame_es = exps[1:]
+            else:
+                acc = (exps[0] * inv) * vs[0].astype(jnp.float32)
+                frame_es = exps[1:]
+                vs_rest = vs[1:]
+            if with_cls:
+                for g in range(frames):
+                    acc = acc + (frame_es[g] * inv) * vs[g].astype(jnp.float32)
+            else:
+                for g in range(frames - 1):
+                    acc = acc + (frame_es[g] * inv) \
+                        * vs_rest[g].astype(jnp.float32)
             frame_outs[f].append(acc)
     return jnp.concatenate(
         [jnp.concatenate(parts, axis=2) for parts in frame_outs], axis=1)
@@ -394,6 +411,37 @@ def _fit_layer_split_kernel(cls_ref, xp_ref, invs_ref,
             .astype(y_ref.dtype)
 
 
+def _joint_attention(qkv, heads: int, scale: float, out_mul):
+    """SINGLE-softmax attention over the full (BB, N, 3W) sequence — the
+    undivided formulation a plain ViT would use at clip level, as the
+    `joint1sm` attribution arm (VERDICT r4 #1 arm d). Per-head lane-slice
+    form like _space_attention but one (N, N) softmax instead of the divided
+    time/space pair. Returns (BB, N, W) fp32 pre-scaled by out_mul."""
+    block_b, n, triple_w = qkv.shape
+    width = triple_w // 3
+    head_dim = width // heads
+    scale_q = jnp.asarray(scale, qkv.dtype)
+
+    parts = []
+    for h in range(heads):
+        off_q, off_k, off_v = (h * head_dim, width + h * head_dim,
+                               2 * width + h * head_dim)
+        q = qkv[:, :, off_q:off_q + head_dim] * scale_q
+        k = qkv[:, :, off_k:off_k + head_dim]
+        v = qkv[:, :, off_v:off_v + head_dim]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (BB, N, N)
+        peak = jnp.max(logits, axis=-1, keepdims=True)
+        exps = jnp.exp(logits - peak)
+        denom = jnp.sum(exps, axis=-1, keepdims=True)
+        weights = (exps * (out_mul / denom)).astype(v.dtype)
+        parts.append(jax.lax.dot_general(
+            weights, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))             # (BB, N, D)
+    return jnp.concatenate(parts, axis=2)
+
+
 def _fit_layer_kernel(x_ref, invs_ref,
                       ln3_s_ref, ln3_b_ref, wtq_ref, tqs_ref, tqb_ref,
                       wtp_ref, tps_ref, tpb_ref,
@@ -402,7 +450,22 @@ def _fit_layer_kernel(x_ref, invs_ref,
                       ln2_s_ref, ln2_b_ref, wf_ref, fs2_ref, fb2_ref, kv_ref,
                       wp_ref, ps_ref, pb_ref, y_ref, *,
                       heads: int, frames: int,
-                      approx_recip: bool = True, ln_eps: float = FIT_LN_EPS):
+                      approx_recip: bool = True, ln_eps: float = FIT_LN_EPS,
+                      variant: str = "full"):
+    """variant selects a TIMING-ONLY attribution arm (VERDICT r4 #1); all
+    arms keep the exact dense/LN/quant dataflow of `full` so the Mosaic
+    schedule changes are confined to the ablated attention core (the
+    round-3 standalone ablations failed because slicing rows out rewired
+    the whole body — these passthroughs keep every operand shape):
+      full        — the shipped kernel
+      notime_core — time-attention mixing -> q passthrough (denses stay)
+      nospace_core— space-attention mixing -> q passthrough (denses stay)
+      noattn_core — both mixings -> passthrough (LN+denses+quant+MLP only)
+      nocls       — both attentions WITHOUT the global-CLS key/value path
+      joint1sm    — no time half at all; space half = one undivided (N, N)
+                    softmax per head (the plain-ViT formulation)
+    Numerics of the arms are junk by construction (except full) — they are
+    for interleaved e2e timing, never for accuracy."""
     x = x_ref[...]
     x32 = x.astype(jnp.float32)
     n, width = x.shape[-2], x.shape[-1]
@@ -414,27 +477,45 @@ def _fit_layer_kernel(x_ref, invs_ref,
                        wo_ref, os_ref, ob_ref, mode):
         h_q = _quant(h32, inv_in)
         qkv = _int8_dense(h_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
-        cls_out = _cls_global_row(qkv, heads, scale, inv_out)
-        if mode == "space":
-            rows = _space_attention(qkv, heads, frames, patches, scale, inv_out)
+        skip_core = (variant == "noattn_core"
+                     or (variant == "notime_core" and mode == "time")
+                     or (variant == "nospace_core" and mode == "space"))
+        if skip_core:
+            att = qkv[:, :, :width].astype(jnp.float32) * inv_out
+        elif mode == "joint":
+            att = _joint_attention(qkv, heads, scale, inv_out)
         else:
-            rows = _time_attention(qkv, heads, frames, patches, scale, inv_out)
-        att = jnp.concatenate([cls_out, rows], axis=1)
+            with_cls = variant != "nocls"
+            if with_cls:
+                cls_out = _cls_global_row(qkv, heads, scale, inv_out)
+            else:
+                cls_out = qkv[:, :1, :width].astype(jnp.float32) * inv_out
+            if mode == "space":
+                rows = _space_attention(qkv, heads, frames, patches, scale,
+                                        inv_out, with_cls=with_cls)
+            else:
+                rows = _time_attention(qkv, heads, frames, patches, scale,
+                                       inv_out, with_cls=with_cls)
+            att = jnp.concatenate([cls_out, rows], axis=1)
         att_q = jnp.clip(jnp.round(att), -127, 127).astype(jnp.int8)
         return _int8_dense(att_q, wo_ref, os_ref, ob_ref)
 
     # --- time half: t = x + proj(timeattn(LN3(x))) ---
-    t32 = x32 + attention_half(
-        _ln(x32, ln3_s_ref, ln3_b_ref, ln_eps), invs_ref[0, 0],
-        wtq_ref, tqs_ref, tqb_ref, invs_ref[0, 1],
-        wtp_ref, tps_ref, tpb_ref, "time")
+    if variant == "joint1sm":
+        t32 = x32
+    else:
+        t32 = x32 + attention_half(
+            _ln(x32, ln3_s_ref, ln3_b_ref, ln_eps), invs_ref[0, 0],
+            wtq_ref, tqs_ref, tqb_ref, invs_ref[0, 1],
+            wtp_ref, tps_ref, tpb_ref, "time")
 
     # --- space half: s = x + proj(attn(LN1(t))) — residual from the ORIGINAL
     # input (the frozen-in-time topology, video_transformer.py:232) ---
     s32 = x32 + attention_half(
         _ln(t32, ln1_s_ref, ln1_b_ref, ln_eps), invs_ref[0, 2],
         wsq_ref, sqs_ref, sqb_ref, invs_ref[0, 3],
-        wsp_ref, sps_ref, spb_ref, "space")
+        wsp_ref, sps_ref, spb_ref,
+        "joint" if variant == "joint1sm" else "space")
 
     # --- MLP half: folded exact-GELU epilogue (ops/block.py quick_gelu=False
     # branch): t = gelu-input * inv_p from the int32 accumulator, erf arg
@@ -692,20 +773,23 @@ def fused_fit_int8_layer_split(cls_row: jnp.ndarray, patches: jnp.ndarray,
 def fused_fit_int8_layer(x: jnp.ndarray, layer: Dict[str, Any], heads: int,
                          frames: int, block_rows: int = 1,
                          ln_eps: float = FIT_LN_EPS,
-                         interpret: Optional[bool] = None) -> jnp.ndarray:
+                         interpret: Optional[bool] = None,
+                         variant: str = "full") -> jnp.ndarray:
     """x (B, 1+F*P, W) bf16 + one SpaceTimeBlock's quantized param node
     (norm1/norm2/norm3 with weight/bias; attn.qkv/attn.proj, timeattn.qkv/
     timeattn.proj, mlp_fc1, mlp_fc2 as {kernel_q, scale, bias, act_scale})
     -> (B, 1+F*P, W) bf16. The activation operand is ALIASED to the output
     (callers must treat it as donated); weights are VMEM-resident across the
-    batch grid via constant index maps."""
+    batch grid via constant index maps. variant != "full" selects a
+    timing-only attribution arm (see _fit_layer_kernel)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     invs, weights = _layer_weight_operands(layer)
     operands = [x, invs] + weights
     kernel = functools.partial(_fit_layer_kernel, heads=heads, frames=frames,
-                               approx_recip=not interpret, ln_eps=ln_eps)
+                               approx_recip=not interpret, ln_eps=ln_eps,
+                               variant=variant)
 
     batch, seq, width = x.shape
     block = block_rows

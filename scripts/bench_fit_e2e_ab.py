@@ -56,9 +56,18 @@ def main() -> None:
         return chain
 
     cases = os.environ.get("FIT_AB_CASES", "joint,pad8").split(",")
+    # The abl_* arms are the VERDICT r4 #1 attribution set: timing-only
+    # kernel variants that passthrough one attention core while keeping the
+    # full dense/LN/quant dataflow (ops/fit_block.py _fit_layer_kernel
+    # `variant`). full - abl_notime = the time core's e2e cost, etc.
     all_chains = {"joint": lambda: make_chain(),
                   "split": lambda: make_chain(split=True),
-                  "pad8": lambda: make_chain(pad8=True)}
+                  "pad8": lambda: make_chain(pad8=True),
+                  "abl_notime": lambda: make_chain(variant="notime_core"),
+                  "abl_nospace": lambda: make_chain(variant="nospace_core"),
+                  "abl_noattn": lambda: make_chain(variant="noattn_core"),
+                  "abl_nocls": lambda: make_chain(variant="nocls"),
+                  "abl_joint1sm": lambda: make_chain(variant="joint1sm")}
     chains = {name: all_chains[name]() for name in cases}
     for r in range(rounds):
         for name, chain in chains.items():

@@ -2,7 +2,9 @@
  *
  * glibc backtrace_symbols_fd() straight to stderr from an altstack, then
  * re-raises with the default handler so the exit code stays 139/134.
- * Used by scripts/diag/run_suite_diag.sh; not part of the shipped framework.
+ * Not part of the shipped framework. Build + use:
+ *   cc -shared -fPIC -O2 -o scripts/diag/segv_bt.so scripts/diag/segv_bt.c
+ *   LD_PRELOAD=scripts/diag/segv_bt.so python -m pytest tests/ -q
  */
 #define _GNU_SOURCE
 #include <execinfo.h>

@@ -166,3 +166,26 @@ def test_dep_lite_reference_example_query(captions):
 def test_dep_lite_unsupported_label_raises(captions):
     with pytest.raises(ValueError, match="Unsupported DEP"):
         list(search_in_subtitles(captions, [{"DEP": "xcomp"}]))
+
+
+def test_dep_lite_bare_post_preposition_nominal_not_object(tmp_path):
+    """Round-5 advisor fix: a nominal directly after a preposition (no
+    determiner in between, 'sits on mats') keeps the pobj reading only —
+    the verb scan must stop at the ADP even at distance 1."""
+    words = [("cat", 0.0, 0.2), ("sits", 0.2, 0.5), ("on", 0.5, 0.7),
+             ("mats", 0.7, 1.0)]
+    payload = {
+        "results": [
+            {"alternatives": [{"transcript": "cat sits on mats"}]},
+            {"alternatives": [{"words": [
+                {"word": w, "startTime": f"{s}s", "endTime": f"{e}s"}
+                for w, s, e in words]}]},
+        ],
+    }
+    (tmp_path / "v.json").write_text(json.dumps(payload))
+    captions = load_captions(str(tmp_path))
+    pobj = list(search_in_subtitles(captions, [{"DEP": "pobj"}]))
+    assert "mats" in {r["text"] for r in pobj}
+    for label in ("dobj", "obj", "iobj"):
+        hits = list(search_in_subtitles(captions, [{"DEP": label}]))
+        assert all(r["text"] != "mats" for r in hits), label
