@@ -165,6 +165,11 @@ def run_train(encoder_slot, data_module, model_cfg: Mapping[str, Any],
         # chain (tests/test_fused_optimizer.py); the opt_state layout differs,
         # so a checkpoint saved under one setting resumes under the same one.
         fused=bool(optimizer_cfg.get("fused", True)),
+        # ++optimizer.moment_dtype=bfloat16 stores m/v reduced (update math
+        # stays fp32); loss-trajectory parity gated in
+        # tests/test_fused_optimizer.py. Checkpoints carry the dtype, so
+        # resume under the same setting.
+        moment_dtype=optimizer_cfg.get("moment_dtype"),
     )
     state = init_train_state(student.params, optimizer,
                              init_temperature=init_temperature,

@@ -99,7 +99,14 @@ class FusedAdamW(tuple):
 
 def make_fused_adamw(learning_rate, weight_decay: float, betas, eps: float,
                      mask: Optional[Params],
-                     gradient_clip_val: Optional[float]) -> FusedAdamW:
+                     gradient_clip_val: Optional[float],
+                     moment_dtype=None) -> FusedAdamW:
+    """moment_dtype (e.g. jnp.bfloat16) stores the m/v moment trees reduced —
+    the AdamW pass is HBM-bound on this hardware (~12 ms/step of the ViT-B/16
+    train step is moment traffic, BASELINE.md), so halving the moment bytes
+    targets that directly. The update math always runs fp32 (moments are
+    upcast per leaf inside the same fusion); only the stored state narrows.
+    None keeps full fp32 moments (the default and the numeric reference)."""
     b1, b2 = betas
 
     def trainable_mask(params):
@@ -111,8 +118,9 @@ def make_fused_adamw(learning_rate, weight_decay: float, betas, eps: float,
             # Frozen leaves carry a scalar placeholder, not a full zero tree
             # ((0,)-sized arrays would be smaller still, but Orbax refuses to
             # serialize zero-size arrays, breaking checkpoint save/resume).
-            return (jnp.zeros_like(p) if trainable
-                    else jnp.zeros((), jnp.float32))
+            if not trainable:
+                return jnp.zeros((), jnp.float32)
+            return jnp.zeros_like(p, dtype=moment_dtype or p.dtype)
         m = jax.tree_util.tree_map(moment, params, trainable_mask(params))
         v = jax.tree_util.tree_map(moment, params, trainable_mask(params))
         return {"count": jnp.zeros((), jnp.int32), "mu": m, "nu": v}
@@ -141,10 +149,12 @@ def make_fused_adamw(learning_rate, weight_decay: float, betas, eps: float,
                 return p, m, v
             if clip_scale is not None:
                 g = g * clip_scale
-            new_m = b1 * m + (1.0 - b1) * g
-            new_v = b2 * v + (1.0 - b2) * (g * g)
+            g32 = g.astype(jnp.float32)
+            new_m = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            new_v = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g32 * g32)
             adam = (new_m / bc1) / (jnp.sqrt(new_v / bc2) + eps)
-            return p - lr * (adam + weight_decay * p), new_m, new_v
+            new_p = p - lr * (adam + weight_decay * p)
+            return new_p, new_m.astype(m.dtype), new_v.astype(v.dtype)
 
         out = jax.tree_util.tree_map(leaf, params, grads, opt_state["mu"],
                                      opt_state["nu"], live)
@@ -170,11 +180,14 @@ def make_optimizer(learning_rate, weight_decay: float = 0.01,
                    fit_temperature: bool = True,
                    gradient_clip_val: Optional[float] = None,
                    params_example: Optional[Params] = None,
-                   fused: bool = False):
+                   fused: bool = False,
+                   moment_dtype: Optional[str] = None):
     """AdamW matching the reference default optimizer (config/trainer.yaml:
     torch.optim.AdamW, lr 3e-6), with optional global-norm clipping (the
     reference sweeps trainer.gradient_clip_val). ``fused=True`` returns the
-    single-HBM-pass update (see FusedAdamW); math is identical."""
+    single-HBM-pass update (see FusedAdamW); math is identical.
+    ``moment_dtype`` ("bfloat16") stores the fused optimizer's moments
+    reduced — fused-only (the optax chain keeps fp32 moments)."""
     if fused:
         patterns = list(freeze_patterns or [])
         if not fit_temperature:
@@ -186,7 +199,11 @@ def make_optimizer(learning_rate, weight_decay: float = 0.01,
                     "freeze_patterns requires params_example to build the mask")
             mask = freeze_mask(params_example, patterns)
         return make_fused_adamw(learning_rate, weight_decay, betas, eps,
-                                mask, gradient_clip_val)
+                                mask, gradient_clip_val,
+                                moment_dtype=(jnp.dtype(moment_dtype)
+                                              if moment_dtype else None))
+    if moment_dtype:
+        raise ValueError("moment_dtype requires the fused optimizer")
     chain = []
     if gradient_clip_val:
         chain.append(optax.clip_by_global_norm(gradient_clip_val))

@@ -142,7 +142,13 @@ def main() -> None:
                           "upper-bounds the fused step",
             }), flush=True)
             continue
-        if case in ("contrastive", "rn50_contrastive"):
+        if case in ("contrastive", "rn50_contrastive", "contrastive_bf16m"):
+            # contrastive_bf16m: the same step with bf16-stored AdamW
+            # moments (VERDICT r4 #4) — same-session A/B against the fp32
+            # "contrastive" arm; parity gate in tests/test_fused_optimizer.
+            case_optimizer = (make_optimizer(3e-6, fused=True,
+                                             moment_dtype="bfloat16")
+                              if case == "contrastive_bf16m" else optimizer)
             if case == "rn50_contrastive":
                 # CLIP RN50 trains with live batch-stats BN (EMA merge
                 # through the step). BENCH_RN_DTYPE=fp32 measures the
@@ -159,8 +165,8 @@ def main() -> None:
                 case_params = case_encoder.init_params(jax.random.PRNGKey(0))
             else:
                 case_encoder, case_params = encoder, params
-            state = jax.device_put(init_train_state(case_params, optimizer))
-            train_step = make_contrastive_train_step(case_encoder, optimizer)
+            state = jax.device_put(init_train_state(case_params, case_optimizer))
+            train_step = make_contrastive_train_step(case_encoder, case_optimizer)
             batch = {"video": video_batch(args.batch), "text": text_batch(args.batch)}
             clips_per_step = args.batch
 
