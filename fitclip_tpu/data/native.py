@@ -33,6 +33,9 @@ def _load_library() -> ctypes.CDLL:
     lib.vd_open.argtypes = [ctypes.c_char_p]
     lib.vd_open_scaled.restype = ctypes.c_void_p
     lib.vd_open_scaled.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.vd_open_threaded.restype = ctypes.c_void_p
+    lib.vd_open_threaded.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                     ctypes.c_int]
     lib.vd_num_frames.restype = ctypes.c_int
     lib.vd_num_frames.argtypes = [ctypes.c_void_p]
     lib.vd_avg_fps.restype = ctypes.c_double
@@ -63,14 +66,19 @@ class NativeVideoReader(VideoReader):
     tolerance (zeros instead of raising) and timestamp-based seeks."""
 
     def __init__(self, path, resize_hw=None,
-                 short_side: Optional[int] = None) -> None:
+                 short_side: Optional[int] = None,
+                 decode_threads: int = 1) -> None:
         super().__init__(path)
         self.resize_hw = resize_hw  # optional (h, w) swscale-while-decoding
         self.short_side = short_side  # aspect-preserving downscale-at-decode
         # short_side also engages lowres (DCT-domain) decoding for codecs
         # that support it — see native/video_decoder.cpp vd_open_scaled.
-        self._handle = _LIB.vd_open_scaled(str(path).encode(),
-                                           int(short_side or 0))
+        # decode_threads > 1 decodes the sampled keyframes of intra-only
+        # streams in parallel codec frame threads (a latency lever for
+        # multi-core hosts; 1 = decord-parity default).
+        self._handle = _LIB.vd_open_threaded(str(path).encode(),
+                                             int(short_side or 0),
+                                             int(decode_threads))
         if not self._handle:
             LOGGER.error("An error occurred when trying to load the video "
                          "with path %s.", self.path)
