@@ -107,7 +107,8 @@ def encode_video_features_fast(video_params, video: jnp.ndarray, config,
             x = fused_fit_int8_layer_pad(x, v[f"blocks_{i}"], cfg.num_heads,
                                          frames=f, real_patches=patches,
                                          cls_pad=cls_pad,
-                                         block_rows=block_rows)
+                                         block_rows=block_rows,
+                                         variant=variant)
         return _layer_norm(x[:, :1], v["norm"], dtype)[:, 0]
 
     x = jnp.concatenate([cls, x], axis=1)

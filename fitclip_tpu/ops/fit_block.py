@@ -85,7 +85,7 @@ def _cls_global_row(qkv, heads: int, scale: float, out_mul, key_mask=None,
 
 def _space_attention(qkv, heads: int, frames: int, patches: int,
                      scale: float, out_mul, cls_pad: int = 1, col_mask=None,
-                     with_cls: bool = True):
+                     with_cls: bool = True, cls_concat: bool = False):
     """Divided SPACE attention on in-VMEM qkv (BB, 1+F*P, 3W): per frame the
     patch rows attend within the frame plus the clip's global CLS key/value
     (joined in logit space as index 0). Per-(frame, head) lane-slice form.
@@ -115,23 +115,50 @@ def _space_attention(qkv, heads: int, frames: int, patches: int,
                 preferred_element_type=jnp.float32)  # (BB, P, P)
             if col_mask is not None:
                 logits = logits + col_mask
-            if with_cls:
+            if with_cls and cls_concat:
+                # The pre-round-5 formulation, kept as the `clscat` timing
+                # arm: lane-concat the CLS logit column, slice it back off.
                 cls_l = jax.lax.dot_general(
                     q, g_k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)  # (BB, P, 1)
-                logits = jnp.concatenate([cls_l, logits], axis=-1)
-            peak = jnp.max(logits, axis=-1, keepdims=True)
-            exps = jnp.exp(logits - peak)
-            denom = jnp.sum(exps, axis=-1, keepdims=True)
-            weights = (exps * (out_mul / denom)).astype(v.dtype)
-            body = weights[:, :, 1:] if with_cls else weights
-            out = jax.lax.dot_general(
-                body, v,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)  # (BB, P, D)
-            if with_cls:
+                cat = jnp.concatenate([cls_l, logits], axis=-1)
+                peak = jnp.max(cat, axis=-1, keepdims=True)
+                exps = jnp.exp(cat - peak)
+                denom = jnp.sum(exps, axis=-1, keepdims=True)
+                weights = (exps * (out_mul / denom)).astype(v.dtype)
+                out = jax.lax.dot_general(
+                    weights[:, :, 1:], v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (BB, P, D)
                 out = out + weights[:, :, :1].astype(jnp.float32) * \
                     g_v.astype(jnp.float32)
+            elif with_cls:
+                # CLS joins the softmax WITHOUT a lane concat (the round-5
+                # attribution arms priced the CLS-global join at ~13 ms of
+                # the 56 ms call; the (P, P)->(P, 1+P) concat and the
+                # [:, :, 1:] slice back were Mosaic relayouts, 48/layer).
+                # Same formulation as _space_attention_split: the CLS logit
+                # is a separate (BB, P, 1) column through max/exp/sum.
+                cls_l = jax.lax.dot_general(
+                    q, g_k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (BB, P, 1)
+                peak = jnp.maximum(jnp.max(logits, -1, keepdims=True), cls_l)
+                exps = jnp.exp(logits - peak)
+                cls_e = jnp.exp(cls_l - peak)
+                inv = out_mul / (jnp.sum(exps, -1, keepdims=True) + cls_e)
+                out = jax.lax.dot_general(
+                    (exps * inv).astype(v.dtype), v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (BB, P, D)
+                out = out + (cls_e * inv) * g_v.astype(jnp.float32)
+            else:
+                peak = jnp.max(logits, axis=-1, keepdims=True)
+                exps = jnp.exp(logits - peak)
+                denom = jnp.sum(exps, axis=-1, keepdims=True)
+                out = jax.lax.dot_general(
+                    (exps * (out_mul / denom)).astype(v.dtype), v,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (BB, P, D)
             head_parts.append(out)
         frame_parts.append(jnp.concatenate(head_parts, axis=2))
     return jnp.concatenate(frame_parts, axis=1)
@@ -194,6 +221,67 @@ def _time_attention(qkv, heads: int, frames: int, patches: int,
             frame_outs[f].append(acc)
     return jnp.concatenate(
         [jnp.concatenate(parts, axis=2) for parts in frame_outs], axis=1)
+
+
+def _time_attention_mxu(qkv, heads: int, frames: int, patches: int,
+                        scale: float, out_mul, cls_pad: int = 1):
+    """_time_attention re-expressed for the MXU: exactly the same math, but
+    the per-(head, frame) lane reductions become full-width elementwise
+    products + a (W, H) head-sum selection matmul, and the AV accumulation
+    becomes a (H, W) head-expand matmul + FMA. The lane-reduction form costs
+    ~6 VPU passes per 64-lane sum (Mosaic lowers trailing-axis reductions as
+    shift/add chains) x 12 heads x 4 frames x 5 keys; this form does the
+    reduction on the MXU where a 12-column matmul is effectively free.
+    Returns (BB, F*P, W) fp32 pre-scaled by out_mul — numerically the
+    reductions reassociate (matmul tree vs shift/add tree), parity-gated at
+    the usual fp32 tolerances."""
+    block_b, n, triple_w = qkv.shape
+    width = triple_w // 3
+    head_dim = width // heads
+
+    # (W, H) head-sum selection: column h sums lanes [h*D, (h+1)*D).
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (width, heads), 0)
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (width, heads), 1)
+    head_sum = (d_iota // head_dim == h_iota).astype(jnp.float32)
+    head_expand = head_sum.T  # (H, W): broadcasts a per-head scalar to lanes
+
+    def rows(off, f):
+        lo = cls_pad + f * patches
+        return qkv[:, lo:lo + patches, off:off + head_dim * heads]
+
+    g_k = qkv[:, :1, width:2 * width].astype(jnp.float32)      # (BB, 1, W)
+    g_v = qkv[:, :1, 2 * width:3 * width].astype(jnp.float32)
+    ks = [rows(width, g).astype(jnp.float32) for g in range(frames)]
+    vs = [rows(2 * width, g).astype(jnp.float32) for g in range(frames)]
+
+    def head_logits(prod):
+        return jax.lax.dot_general(
+            prod, head_sum, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (BB, P, H)
+
+    def expand(w_h):
+        return jax.lax.dot_general(
+            w_h, head_expand, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (BB, P, W)
+
+    frame_parts = []
+    for f in range(frames):
+        q_f = rows(0, f).astype(jnp.float32) * scale           # (BB, P, W)
+        logits = [head_logits(q_f * g_k)]
+        logits += [head_logits(q_f * ks[g]) for g in range(frames)]
+        peak = logits[0]
+        for l in logits[1:]:
+            peak = jnp.maximum(peak, l)
+        exps = [jnp.exp(l - peak) for l in logits]
+        denom = exps[0]
+        for e in exps[1:]:
+            denom = denom + e
+        inv = out_mul / denom                                  # (BB, P, H)
+        acc = expand(exps[0] * inv) * g_v
+        for g in range(frames):
+            acc = acc + expand(exps[g + 1] * inv) * vs[g]
+        frame_parts.append(acc)
+    return jnp.concatenate(frame_parts, axis=1)
 
 
 def _int8_dense_nd(x_q, w_ref, scale_ref, bias_ref):
@@ -492,7 +580,11 @@ def _fit_layer_kernel(x_ref, invs_ref,
                 cls_out = qkv[:, :1, :width].astype(jnp.float32) * inv_out
             if mode == "space":
                 rows = _space_attention(qkv, heads, frames, patches, scale,
-                                        inv_out, with_cls=with_cls)
+                                        inv_out, with_cls=with_cls,
+                                        cls_concat=variant == "clscat")
+            elif variant == "timemxu":
+                rows = _time_attention_mxu(qkv, heads, frames, patches, scale,
+                                           inv_out)
             else:
                 rows = _time_attention(qkv, heads, frames, patches, scale,
                                        inv_out, with_cls=with_cls)
@@ -548,7 +640,8 @@ def _fit_layer_pad_kernel(x_ref, invs_ref, cmask_ref, smask_ref,
                           kv_ref, wp_ref, ps_ref, pb_ref, y_ref, *,
                           heads: int, frames: int, cls_pad: int,
                           approx_recip: bool = True,
-                          ln_eps: float = FIT_LN_EPS):
+                          ln_eps: float = FIT_LN_EPS,
+                          variant: str = "full"):
     """_fit_layer_kernel on the PAD8 joint layout: rows are
     [CLS | cls_pad-1 dead | F groups of P rows], with P a multiple of 8 so
     every in-kernel frame slice starts on a sublane boundary (the 1+F*196
@@ -578,7 +671,14 @@ def _fit_layer_pad_kernel(x_ref, invs_ref, cmask_ref, smask_ref,
                                   nq=cls_pad)
         if mode == "space":
             rows = _space_attention(qkv, heads, frames, patches, scale,
-                                    inv_out, cls_pad=cls_pad, col_mask=smask)
+                                    inv_out, cls_pad=cls_pad, col_mask=smask,
+                                    cls_concat=variant == "clscat")
+        elif variant == "timemxu":
+            # Time attention is position-local, so the pad8 dead rows only
+            # ever attend to (and produce) junk at dead positions — no mask
+            # needed, exactly as the lane-reduction form.
+            rows = _time_attention_mxu(qkv, heads, frames, patches, scale,
+                                       inv_out, cls_pad=cls_pad)
         else:
             rows = _time_attention(qkv, heads, frames, patches, scale,
                                    inv_out, cls_pad=cls_pad)
@@ -631,7 +731,8 @@ def fused_fit_int8_layer_pad(x: jnp.ndarray, layer: Dict[str, Any],
                              heads: int, frames: int, real_patches: int,
                              cls_pad: int = 8, block_rows: int = 1,
                              ln_eps: float = FIT_LN_EPS,
-                             interpret: Optional[bool] = None) -> jnp.ndarray:
+                             interpret: Optional[bool] = None,
+                             variant: str = "full") -> jnp.ndarray:
     """fused_fit_int8_layer on the pad8 layout: x is
     (B, cls_pad + F*group, W) with group % 8 == 0 (build it with
     models/frozen_in_time/fit_fast.py's pad8 path); real_patches counts the
@@ -647,7 +748,8 @@ def fused_fit_int8_layer_pad(x: jnp.ndarray, layer: Dict[str, Any],
     operands = [x, invs, jnp.asarray(cmask), jnp.asarray(smask)] + weights
     kernel = functools.partial(_fit_layer_pad_kernel, heads=heads,
                                frames=frames, cls_pad=cls_pad,
-                               approx_recip=not interpret, ln_eps=ln_eps)
+                               approx_recip=not interpret, ln_eps=ln_eps,
+                               variant=variant)
 
     block = block_rows
     while batch % block:

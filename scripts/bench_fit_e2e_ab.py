@@ -67,7 +67,20 @@ def main() -> None:
                   "abl_nospace": lambda: make_chain(variant="nospace_core"),
                   "abl_noattn": lambda: make_chain(variant="noattn_core"),
                   "abl_nocls": lambda: make_chain(variant="nocls"),
-                  "abl_joint1sm": lambda: make_chain(variant="joint1sm")}
+                  "abl_joint1sm": lambda: make_chain(variant="joint1sm"),
+                  # timemxu: same math as full, time attention on the MXU
+                  # via head-sum/expand selection matmuls (parity-gated in
+                  # tests/test_fit_fast.py) — a candidate default, not an
+                  # ablation.
+                  "timemxu": lambda: make_chain(variant="timemxu"),
+                  "pad8_timemxu": lambda: make_chain(pad8=True,
+                                                     variant="timemxu"),
+                  # clscat restores the pre-round-5 lane-concat CLS join in
+                  # the space attention (the old shipped kernel) as the
+                  # in-session baseline for the nocat/timemxu wins.
+                  "clscat": lambda: make_chain(variant="clscat"),
+                  "pad8_clscat": lambda: make_chain(pad8=True,
+                                                    variant="clscat")}
     chains = {name: all_chains[name]() for name in cases}
     for r in range(rounds):
         for name, chain in chains.items():

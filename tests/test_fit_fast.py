@@ -122,3 +122,32 @@ def test_fit_pad8_layout_matches_joint_layout():
                                          pad8=True)
     emb_joint = encode_video_features_fast(qparams["video"], video, cfg)
     assert _cosine(emb_pad, emb_joint) > 0.9995
+
+
+def test_fit_timemxu_matches_lane_reduction_time_attention():
+    """Round-5 timemxu: the divided TIME attention re-expressed as
+    head-sum/head-expand selection matmuls (ops/fit_block._time_attention_mxu)
+    is the SAME math as the lane-reduction form — outputs must agree on both
+    kernel layouts (bit-identical up to fp32 reassociation, absorbed by the
+    downstream int8 quantization)."""
+    from fitclip_tpu.models.frozen_in_time.fit_fast import (
+        encode_video_features_fast)
+
+    cfg = FrozenInTimeConfig.tiny_test()
+    fp32 = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                        fused_attention=False)
+    params = fp32.init_params(jax.random.PRNGKey(0))
+    video = jax.random.normal(jax.random.PRNGKey(7),
+                              (2, cfg.num_frames, cfg.img_size,
+                               cfg.img_size, 3))
+    qparams = dict(params, video=quantize_fit_video_params(params["video"]))
+    mk = FrozenInTimeVideoTextEncoder(cfg, num_frames=cfg.num_frames,
+                                      dtype="int8", fused_attention=False,
+                                      fused_block=True)
+    qparams = apply_act_scales(qparams, mk.collect_act_amax(qparams, video))
+
+    for kw in ({}, {"pad8": True}):
+        base = encode_video_features_fast(qparams["video"], video, cfg, **kw)
+        mxu = encode_video_features_fast(qparams["video"], video, cfg,
+                                         variant="timemxu", **kw)
+        assert _cosine(base, mxu) > 0.99999, kw
