@@ -196,12 +196,22 @@ def _inception_block(params, x, widths, dtype, defer_gate=False,
     if "gating_b0" not in params:
         return (out, None) if defer_gate else out
     # Gate vectors from the per-branch means (fp32 accumulation, same as
-    # SelfGating), applied as ONE multiply on the concatenated output
-    # instead of four per-branch passes.
-    gates = jnp.concatenate([
-        _gate(params[f"gating_b{i}"], part.mean(axis=(1, 2, 3),
-                                                dtype=jnp.float32))
-        for i, part in enumerate(parts)], axis=-1).astype(dtype)
+    # SelfGating), applied as ONE multiply on the concatenated output.
+    # Round-5 (VERDICT r4 #2a): ONE mean over the concatenated output —
+    # the channel mean of concat(parts) IS the concat of per-branch means —
+    # and the four per-branch gate FCs as one block-diagonal matmul, so the
+    # gating costs a single convert+reduce pass over the block output
+    # instead of four slice reduces + four narrow matmuls (the trace's
+    # biggest non-stem bucket). Off-diagonal zeros contribute exactly 0:
+    # bitwise the same math.
+    pooled = out.mean(axis=(1, 2, 3), dtype=jnp.float32)
+    kernel = jax.scipy.linalg.block_diag(*(
+        params[f"gating_b{i}"]["fc"]["kernel"].astype(jnp.float32)
+        for i in range(4)))
+    bias = jnp.concatenate([
+        params[f"gating_b{i}"]["fc"]["bias"].astype(jnp.float32)
+        for i in range(4)])
+    gates = jax.nn.sigmoid(pooled @ kernel + bias).astype(dtype)
     if defer_gate:
         # The caller max-pools next: sigmoid gates are positive per-channel
         # scales, and max commutes with positive scaling, so the multiply
