@@ -191,9 +191,12 @@ class FrozenInTimeVideoTextEncoder(VideoTextEncoder):
             # +1.9% e2e over the 1+F*P joint layout (585 vs 574 clips/s,
             # 2 interleaved rounds, scripts/bench_fit_e2e_ab.py);
             # parity-pinned in tests/test_fit_fast.py. FIT_PAD8=0 opts out.
+            # FIT_VARIANT picks the kernel variant (ops/fit_block.py);
+            # "timemxu" is the round-5 MXU time attention, parity-pinned.
             features = encode_video_features_fast(
                 params["video"], video, self.config, dtype=self.dtype,
-                pad8=os.environ.get("FIT_PAD8", "1") != "0")
+                pad8=os.environ.get("FIT_PAD8", "1") != "0",
+                variant=os.environ.get("FIT_VARIANT", "full"))
         else:
             features = self.video_model.apply({"params": params["video"]},
                                               video)

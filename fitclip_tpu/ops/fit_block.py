@@ -223,6 +223,60 @@ def _time_attention(qkv, heads: int, frames: int, patches: int,
         [jnp.concatenate(parts, axis=2) for parts in frame_outs], axis=1)
 
 
+def _space_attention_packed(qkv, heads: int, frames: int, patches: int,
+                            scale: float, out_mul, cls_pad: int = 1,
+                            col_mask=None):
+    """Divided SPACE attention with the heads PACKED along the batch axis —
+    the formulation the CLIP megakernel proved fastest (ops/block.py): per
+    frame, the 12 per-head (P, D) @ (D, P) dots become ONE batched
+    (H·BB, P, P) dot_general, and the softmax/AV run once on the packed
+    tensor. Same math as _space_attention (nocat CLS column join); the
+    in-VMEM head pack/unpack concats replace 3x12 small matmul launches
+    with 3 big ones per frame. Returns (BB, F*P, W) fp32 pre-scaled by
+    out_mul."""
+    block_b, n, triple_w = qkv.shape
+    width = triple_w // 3
+    head_dim = width // heads
+    scale_q = jnp.asarray(scale, qkv.dtype)
+
+    def pack(lo, np_, offset):
+        return jnp.concatenate(
+            [qkv[:, lo:lo + np_,
+                 offset + h * head_dim:offset + (h + 1) * head_dim]
+             for h in range(heads)], axis=0)  # (H*BB, np_, D)
+
+    g_k = pack(0, 1, width)                   # (H*BB, 1, D)
+    g_v = pack(0, 1, 2 * width).astype(jnp.float32)
+
+    frame_parts = []
+    for f in range(frames):
+        lo = cls_pad + f * patches
+        q = pack(lo, patches, 0) * scale_q    # (H*BB, P, D)
+        k = pack(lo, patches, width)
+        v = pack(lo, patches, 2 * width)
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (HB, P, P)
+        if col_mask is not None:
+            logits = logits + col_mask
+        cls_l = jax.lax.dot_general(
+            q, g_k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (HB, P, 1)
+        peak = jnp.maximum(jnp.max(logits, -1, keepdims=True), cls_l)
+        exps = jnp.exp(logits - peak)
+        cls_e = jnp.exp(cls_l - peak)
+        inv = out_mul / (jnp.sum(exps, -1, keepdims=True) + cls_e)
+        out = jax.lax.dot_general(
+            (exps * inv).astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # (HB, P, D)
+        out = out + (cls_e * inv) * g_v
+        frame_parts.append(jnp.concatenate(
+            [out[h * block_b:(h + 1) * block_b] for h in range(heads)],
+            axis=2))                                        # (BB, P, W)
+    return jnp.concatenate(frame_parts, axis=1)
+
+
 def _time_attention_mxu(qkv, heads: int, frames: int, patches: int,
                         scale: float, out_mul, cls_pad: int = 1):
     """_time_attention re-expressed for the MXU: exactly the same math, but
@@ -552,37 +606,47 @@ def _fit_layer_kernel(x_ref, invs_ref,
       nocls       — both attentions WITHOUT the global-CLS key/value path
       joint1sm    — no time half at all; space half = one undivided (N, N)
                     softmax per head (the plain-ViT formulation)
-    Numerics of the arms are junk by construction (except full) — they are
-    for interleaved e2e timing, never for accuracy."""
+    Numerics of the timing-only arms above are junk by construction — they
+    are for interleaved e2e timing, never for accuracy. PARITY-EXACT
+    variants (same math, different compute path; composable with "+"):
+      timemxu     — time attention via head-sum/expand selection matmuls
+      clscat      — the pre-round-5 lane-concat CLS join in space attention
+      spacepack   — space attention with heads packed along the batch axis
+                    (one QK^T/AV matmul per frame for all heads — the CLIP
+                    kernel's proven form) instead of 12 per-head dots"""
     x = x_ref[...]
     x32 = x.astype(jnp.float32)
     n, width = x.shape[-2], x.shape[-1]
     patches = (n - 1) // frames
     head_dim = width // heads
     scale = head_dim ** -0.5
+    tokens = variant.split("+")
 
     def attention_half(h32, inv_in, wq_ref, qs_ref, qb_ref, inv_out,
                        wo_ref, os_ref, ob_ref, mode):
         h_q = _quant(h32, inv_in)
         qkv = _int8_dense(h_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
-        skip_core = (variant == "noattn_core"
-                     or (variant == "notime_core" and mode == "time")
-                     or (variant == "nospace_core" and mode == "space"))
+        skip_core = ("noattn_core" in tokens
+                     or ("notime_core" in tokens and mode == "time")
+                     or ("nospace_core" in tokens and mode == "space"))
         if skip_core:
             att = qkv[:, :, :width].astype(jnp.float32) * inv_out
         elif mode == "joint":
             att = _joint_attention(qkv, heads, scale, inv_out)
         else:
-            with_cls = variant != "nocls"
+            with_cls = "nocls" not in tokens
             if with_cls:
                 cls_out = _cls_global_row(qkv, heads, scale, inv_out)
             else:
                 cls_out = qkv[:, :1, :width].astype(jnp.float32) * inv_out
-            if mode == "space":
+            if mode == "space" and "spacepack" in tokens:
+                rows = _space_attention_packed(qkv, heads, frames, patches,
+                                               scale, inv_out)
+            elif mode == "space":
                 rows = _space_attention(qkv, heads, frames, patches, scale,
                                         inv_out, with_cls=with_cls,
-                                        cls_concat=variant == "clscat")
-            elif variant == "timemxu":
+                                        cls_concat="clscat" in tokens)
+            elif "timemxu" in tokens:
                 rows = _time_attention_mxu(qkv, heads, frames, patches, scale,
                                            inv_out)
             else:
@@ -593,7 +657,7 @@ def _fit_layer_kernel(x_ref, invs_ref,
         return _int8_dense(att_q, wo_ref, os_ref, ob_ref)
 
     # --- time half: t = x + proj(timeattn(LN3(x))) ---
-    if variant == "joint1sm":
+    if "joint1sm" in tokens:
         t32 = x32
     else:
         t32 = x32 + attention_half(
@@ -607,7 +671,7 @@ def _fit_layer_kernel(x_ref, invs_ref,
         _ln(t32, ln1_s_ref, ln1_b_ref, ln_eps), invs_ref[0, 2],
         wsq_ref, sqs_ref, sqb_ref, invs_ref[0, 3],
         wsp_ref, sps_ref, spb_ref,
-        "joint" if variant == "joint1sm" else "space")
+        "joint" if "joint1sm" in tokens else "space")
 
     # --- MLP half: folded exact-GELU epilogue (ops/block.py quick_gelu=False
     # branch): t = gelu-input * inv_p from the int32 accumulator, erf arg
@@ -669,11 +733,16 @@ def _fit_layer_pad_kernel(x_ref, invs_ref, cmask_ref, smask_ref,
         # real, rows 1..cls_pad-1 dead junk) — see _cls_global_row nq.
         cls_out = _cls_global_row(qkv, heads, scale, inv_out, key_mask=cmask,
                                   nq=cls_pad)
-        if mode == "space":
+        tokens = variant.split("+")
+        if mode == "space" and "spacepack" in tokens:
+            rows = _space_attention_packed(qkv, heads, frames, patches,
+                                           scale, inv_out, cls_pad=cls_pad,
+                                           col_mask=smask)
+        elif mode == "space":
             rows = _space_attention(qkv, heads, frames, patches, scale,
                                     inv_out, cls_pad=cls_pad, col_mask=smask,
-                                    cls_concat=variant == "clscat")
-        elif variant == "timemxu":
+                                    cls_concat="clscat" in tokens)
+        elif "timemxu" in tokens:
             # Time attention is position-local, so the pad8 dead rows only
             # ever attend to (and produce) junk at dead positions — no mask
             # needed, exactly as the lane-reduction form.

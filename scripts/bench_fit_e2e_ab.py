@@ -80,7 +80,15 @@ def main() -> None:
                   # in-session baseline for the nocat/timemxu wins.
                   "clscat": lambda: make_chain(variant="clscat"),
                   "pad8_clscat": lambda: make_chain(pad8=True,
-                                                    variant="clscat")}
+                                                    variant="clscat"),
+                  # Composable round-5 combos ("+"-joined parity-exact
+                  # variants, ops/fit_block.py).
+                  "pad8_tm_clscat": lambda: make_chain(
+                      pad8=True, variant="timemxu+clscat"),
+                  "pad8_tm_spacepack": lambda: make_chain(
+                      pad8=True, variant="timemxu+spacepack"),
+                  "pad8_spacepack": lambda: make_chain(
+                      pad8=True, variant="spacepack")}
     chains = {name: all_chains[name]() for name in cases}
     for r in range(rounds):
         for name, chain in chains.items():

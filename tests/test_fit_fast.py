@@ -148,6 +148,10 @@ def test_fit_timemxu_matches_lane_reduction_time_attention():
 
     for kw in ({}, {"pad8": True}):
         base = encode_video_features_fast(qparams["video"], video, cfg, **kw)
-        mxu = encode_video_features_fast(qparams["video"], video, cfg,
-                                         variant="timemxu", **kw)
-        assert _cosine(base, mxu) > 0.99999, kw
+        for variant in ("timemxu", "timemxu+clscat", "timemxu+spacepack",
+                        "spacepack"):
+            got = encode_video_features_fast(qparams["video"], video, cfg,
+                                             variant=variant, **kw)
+            # clscat reassociates the softmax denominator sum; through two
+            # int8 requant cascades that costs a few final-bf16 ulps.
+            assert _cosine(base, got) > 0.9999, (kw, variant)
