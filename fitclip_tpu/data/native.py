@@ -46,6 +46,9 @@ def _load_library() -> ctypes.CDLL:
     lib.vd_timestamps.restype = None
     lib.vd_timestamps.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_double)]
+    lib.vd_keyframes.restype = None
+    lib.vd_keyframes.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_uint8)]
     lib.vd_get_frames.restype = ctypes.c_int
     lib.vd_get_frames.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
@@ -121,6 +124,17 @@ class NativeVideoReader(VideoReader):
 
     def __len__(self) -> int:
         return _LIB.vd_num_frames(self._handle) if self._handle else 1
+
+    def keyframe_flags(self) -> np.ndarray:
+        """Per-frame 0/1 keyframe flags (the GOP structure); ones when the
+        file failed to open (matching the zero-fill tolerance posture)."""
+        n = len(self)
+        if not self._handle:
+            return np.ones((n,), np.uint8)
+        out = np.empty((n,), np.uint8)
+        _LIB.vd_keyframes(self._handle,
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
 
     def time_to_indices(self, time: Union[float, Sequence[float]]) -> np.ndarray:
         if not self._handle:

@@ -222,6 +222,13 @@ void vd_frame_size(void* handle, int* height, int* width) {
   *width = d->width;
 }
 
+// Per-frame keyframe flags (0/1), parallel to the frame index — exposes the
+// GOP structure for the decode cost model (scripts/bench_decode.py).
+void vd_keyframes(void* handle, uint8_t* out) {
+  auto* d = static_cast<Decoder*>(handle);
+  std::memcpy(out, d->index.keyframe.data(), d->index.keyframe.size());
+}
+
 // Frame midpoint timestamps in seconds (decord get_frame_timestamp mean
 // semantics for constant-rate streams).
 void vd_timestamps(void* handle, double* out) {

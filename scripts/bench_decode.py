@@ -101,7 +101,23 @@ def main() -> None:
         center_crop(small, 224)
     crop_ms = (time.perf_counter() - start) / 50 * 1e3
 
-    print(json.dumps({
+    # Round-5 levers: threaded intra decode (BENCH_THREADS; a LATENCY lever
+    # for multi-core hosts — on a 1-core box expect neutral/negative), and
+    # the GOP analysis for the record (keyframe spacing bounds the catch-up
+    # decode work per sampled frame).
+    threads = int(os.environ.get("BENCH_THREADS", "0"))
+    threaded_ms = None
+    if threads > 1:
+        def decode_224_threaded(p):
+            r = NativeVideoReader(p, short_side=224, decode_threads=threads)
+            return r(indices_for(r))
+        threaded_ms = max(0.0, per_clip(decode_224_threaded) - open_ms)
+
+    reader = NativeVideoReader(paths[0])
+    n_frames = len(reader)
+    keyframes = int(reader.keyframe_flags().sum())
+
+    result = {
         "res": res, "codec": codec,
         "open_ms_per_clip": round(open_ms, 2),
         "decode_native_ms_per_clip": round(decode_ms, 2),
@@ -110,7 +126,13 @@ def main() -> None:
         "crop_only_ms_per_clip": round(crop_ms, 2),
         "e2e_native_ms_per_clip": round(open_ms + decode_ms + transform_ms, 2),
         "e2e_short224_ms_per_clip": round(open_ms + decode224_ms + crop_ms, 2),
-    }))
+        "frames": n_frames, "keyframes": keyframes,
+        "mean_gop": round(n_frames / max(keyframes, 1), 1),
+    }
+    if threaded_ms is not None:
+        result["decode_short224_threads%d_ms_per_clip" % threads] = \
+            round(threaded_ms, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
