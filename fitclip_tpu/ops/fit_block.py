@@ -223,9 +223,44 @@ def _time_attention(qkv, heads: int, frames: int, patches: int,
         [jnp.concatenate(parts, axis=2) for parts in frame_outs], axis=1)
 
 
+def _cls_global_row_packed(qkv, heads: int, scale: float, out_mul,
+                           key_mask=None, nq: int = 1):
+    """_cls_global_row with the heads packed along the batch axis: one
+    (H·BB, nq, N) logits dot + one AV dot instead of 12 per-head pairs.
+    Same math (round-5 `clspack` variant)."""
+    block_b, n, triple_w = qkv.shape
+    width = triple_w // 3
+    head_dim = width // heads
+    scale_q = jnp.asarray(scale, qkv.dtype)
+
+    def pack(lo, np_, offset):
+        return jnp.concatenate(
+            [qkv[:, lo:lo + np_,
+                 offset + h * head_dim:offset + (h + 1) * head_dim]
+             for h in range(heads)], axis=0)
+
+    q = pack(0, nq, 0) * scale_q            # (HB, nq, D)
+    k = pack(0, n, width)                   # (HB, N, D)
+    v = pack(0, n, 2 * width)
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (HB, nq, N)
+    if key_mask is not None:
+        logits = logits + key_mask
+    peak = jnp.max(logits, axis=-1, keepdims=True)
+    exps = jnp.exp(logits - peak)
+    denom = jnp.sum(exps, axis=-1, keepdims=True)
+    weights = (exps * (out_mul / denom)).astype(v.dtype)
+    out = jax.lax.dot_general(
+        weights, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (HB, nq, D)
+    return jnp.concatenate(
+        [out[h * block_b:(h + 1) * block_b] for h in range(heads)], axis=2)
+
+
 def _space_attention_packed(qkv, heads: int, frames: int, patches: int,
                             scale: float, out_mul, cls_pad: int = 1,
-                            col_mask=None):
+                            col_mask=None, cls_concat: bool = False):
     """Divided SPACE attention with the heads PACKED along the batch axis —
     the formulation the CLIP megakernel proved fastest (ops/block.py): per
     frame, the 12 per-head (P, D) @ (D, P) dots become ONE batched
@@ -262,15 +297,27 @@ def _space_attention_packed(qkv, heads: int, frames: int, patches: int,
         cls_l = jax.lax.dot_general(
             q, g_k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)            # (HB, P, 1)
-        peak = jnp.maximum(jnp.max(logits, -1, keepdims=True), cls_l)
-        exps = jnp.exp(logits - peak)
-        cls_e = jnp.exp(cls_l - peak)
-        inv = out_mul / (jnp.sum(exps, -1, keepdims=True) + cls_e)
-        out = jax.lax.dot_general(
-            (exps * inv).astype(v.dtype), v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # (HB, P, D)
-        out = out + (cls_e * inv) * g_v
+        if cls_concat:
+            cat = jnp.concatenate([cls_l, logits], axis=-1)
+            peak = jnp.max(cat, axis=-1, keepdims=True)
+            exps_cat = jnp.exp(cat - peak)
+            denom = jnp.sum(exps_cat, axis=-1, keepdims=True)
+            weights = (exps_cat * (out_mul / denom)).astype(v.dtype)
+            out = jax.lax.dot_general(
+                weights[:, :, 1:], v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # (HB, P, D)
+            out = out + weights[:, :, :1].astype(jnp.float32) * g_v
+        else:
+            peak = jnp.maximum(jnp.max(logits, -1, keepdims=True), cls_l)
+            exps = jnp.exp(logits - peak)
+            cls_e = jnp.exp(cls_l - peak)
+            inv = out_mul / (jnp.sum(exps, -1, keepdims=True) + cls_e)
+            out = jax.lax.dot_general(
+                (exps * inv).astype(v.dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)        # (HB, P, D)
+            out = out + (cls_e * inv) * g_v
         frame_parts.append(jnp.concatenate(
             [out[h * block_b:(h + 1) * block_b] for h in range(heads)],
             axis=2))                                        # (BB, P, W)
@@ -635,13 +682,16 @@ def _fit_layer_kernel(x_ref, invs_ref,
             att = _joint_attention(qkv, heads, scale, inv_out)
         else:
             with_cls = "nocls" not in tokens
-            if with_cls:
-                cls_out = _cls_global_row(qkv, heads, scale, inv_out)
-            else:
+            if not with_cls:
                 cls_out = qkv[:, :1, :width].astype(jnp.float32) * inv_out
+            elif "clspack" in tokens:
+                cls_out = _cls_global_row_packed(qkv, heads, scale, inv_out)
+            else:
+                cls_out = _cls_global_row(qkv, heads, scale, inv_out)
             if mode == "space" and "spacepack" in tokens:
-                rows = _space_attention_packed(qkv, heads, frames, patches,
-                                               scale, inv_out)
+                rows = _space_attention_packed(
+                    qkv, heads, frames, patches, scale, inv_out,
+                    cls_concat="spacecat" in tokens)
             elif mode == "space":
                 rows = _space_attention(qkv, heads, frames, patches, scale,
                                         inv_out, with_cls=with_cls,
@@ -729,15 +779,18 @@ def _fit_layer_pad_kernel(x_ref, invs_ref, cmask_ref, smask_ref,
                        wo_ref, os_ref, ob_ref, mode):
         h_q = _quant(h32, inv_in)
         qkv = _int8_dense(h_q, wq_ref, qs_ref, qb_ref).astype(x.dtype)
+        tokens = variant.split("+")
         # The whole aligned CLS block rides the global-attention path (row 0
         # real, rows 1..cls_pad-1 dead junk) — see _cls_global_row nq.
-        cls_out = _cls_global_row(qkv, heads, scale, inv_out, key_mask=cmask,
-                                  nq=cls_pad)
-        tokens = variant.split("+")
+        cls_fn = (_cls_global_row_packed if "clspack" in tokens
+                  else _cls_global_row)
+        cls_out = cls_fn(qkv, heads, scale, inv_out, key_mask=cmask,
+                         nq=cls_pad)
         if mode == "space" and "spacepack" in tokens:
             rows = _space_attention_packed(qkv, heads, frames, patches,
                                            scale, inv_out, cls_pad=cls_pad,
-                                           col_mask=smask)
+                                           col_mask=smask,
+                                           cls_concat="spacecat" in tokens)
         elif mode == "space":
             rows = _space_attention(qkv, heads, frames, patches, scale,
                                     inv_out, cls_pad=cls_pad, col_mask=smask,

@@ -88,7 +88,12 @@ def main() -> None:
                   "pad8_tm_spacepack": lambda: make_chain(
                       pad8=True, variant="timemxu+spacepack"),
                   "pad8_spacepack": lambda: make_chain(
-                      pad8=True, variant="spacepack")}
+                      pad8=True, variant="spacepack"),
+                  "pad8_tm_sp_clspack": lambda: make_chain(
+                      pad8=True, variant="timemxu+spacepack+clspack"),
+                  "pad8_tm_spcat_clspack": lambda: make_chain(
+                      pad8=True,
+                      variant="timemxu+spacepack+spacecat+clspack")}
     chains = {name: all_chains[name]() for name in cases}
     for r in range(rounds):
         for name, chain in chains.items():
