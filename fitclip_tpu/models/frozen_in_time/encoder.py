@@ -191,12 +191,17 @@ class FrozenInTimeVideoTextEncoder(VideoTextEncoder):
             # +1.9% e2e over the 1+F*P joint layout (585 vs 574 clips/s,
             # 2 interleaved rounds, scripts/bench_fit_e2e_ab.py);
             # parity-pinned in tests/test_fit_fast.py. FIT_PAD8=0 opts out.
-            # FIT_VARIANT picks the kernel variant (ops/fit_block.py);
-            # "timemxu" is the round-5 MXU time attention, parity-pinned.
+            # FIT_VARIANT picks the kernel variant (ops/fit_block.py). The
+            # round-5 default composes the measured winners (850 vs 585
+            # clips/s e2e, 2 interleaved rounds, scripts/bench_fit_e2e_ab):
+            # MXU time attention + heads-packed space attention with the
+            # concat CLS join + packed CLS global row. All parity-exact vs
+            # "full" (tests/test_fit_fast.py).
             features = encode_video_features_fast(
                 params["video"], video, self.config, dtype=self.dtype,
                 pad8=os.environ.get("FIT_PAD8", "1") != "0",
-                variant=os.environ.get("FIT_VARIANT", "full"))
+                variant=os.environ.get(
+                    "FIT_VARIANT", "timemxu+spacepack+spacecat+clspack"))
         else:
             features = self.video_model.apply({"params": params["video"]},
                                               video)
