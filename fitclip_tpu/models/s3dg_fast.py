@@ -78,6 +78,25 @@ def _gate(params, pooled):
         + params["fc"]["bias"].astype(jnp.float32))
 
 
+def _spatial_mean(x):
+    """(B, T, H, W, C) -> (B, C) fp32 mean over (T, H, W) as a ones-vector
+    MXU contraction. The XLA convert+reduce fusion for the same read
+    measured ~99 GB/s on v5e (1.56 ms for conv_2c's 154 MB activation,
+    profile_s3dg round-5); the matmul form streams at HBM rate with fp32
+    accumulation on the MXU. Same values as mean(dtype=float32) up to
+    summation order."""
+    b, c = x.shape[0], x.shape[-1]
+    rows = 1
+    for d in x.shape[1:-1]:
+        rows *= d
+    flat = x.reshape(b, rows, c)
+    ones = jnp.ones((rows,), x.dtype)
+    total = jax.lax.dot_general(
+        ones, flat, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return total / rows
+
+
 # ---------------------------------------------------------------------------
 # W8A8 on the tower's matmul-shaped convs (round-4, VERDICT r3 #4).
 #
@@ -204,7 +223,7 @@ def _inception_block(params, x, widths, dtype, defer_gate=False,
     # instead of four slice reduces + four narrow matmuls (the trace's
     # biggest non-stem bucket). Off-diagonal zeros contribute exactly 0:
     # bitwise the same math.
-    pooled = out.mean(axis=(1, 2, 3), dtype=jnp.float32)
+    pooled = _spatial_mean(out)
     kernel = jax.scipy.linalg.block_diag(*(
         params[f"gating_b{i}"]["fc"]["kernel"].astype(jnp.float32)
         for i in range(4)))
@@ -239,9 +258,13 @@ _BLOCK_WIDTHS = {
 }
 
 
-def _stem_kernel_path(params, x: jnp.ndarray, dtype) -> jnp.ndarray:
+def _stem_kernel_path(params, x: jnp.ndarray, dtype,
+                      transpose: bool = True) -> jnp.ndarray:
     """space_to_depth + conv1 + BN + ReLU + the first max pool, all inside
-    the Pallas stem kernel (ops/s3dg_stem.py). Returns NDHWC at 1/4 res."""
+    the Pallas stem kernel (ops/s3dg_stem.py). Returns NDHWC at 1/4 res;
+    transpose=False returns the kernel's native (B, Ts, Hp, 64, Wp)
+    channels-on-sublanes layout (callers can fold the relayout into the
+    next 1x1x1 conv's contraction instead — round-5 copy fix)."""
     import os
 
     from fitclip_tpu.ops import s3dg_stem as _stem
@@ -267,6 +290,8 @@ def _stem_kernel_path(params, x: jnp.ndarray, dtype) -> jnp.ndarray:
     rpi = next(r for r in (4, 2, 1) if (x.shape[2] // 2) % r == 0)
     w2, bias_b, sel = pack(kern, bias, dtype, rows_per_iter=rpi)
     y = conv(producer(x), w2, bias_b, sel, ws=x.shape[3] // 2)
+    if not transpose:
+        return y  # (B, Ts, Hp, 64, Wp)
     return y.transpose(0, 1, 2, 4, 3)  # (B, Ts, Hp, Wp, 64) NDHWC
 
 
@@ -292,20 +317,34 @@ def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
         raise ValueError("int8 forward needs quantize_s3dg_fast params")
     x = video.astype(dtype)
     conv = partial(_st_conv, dtype=dtype)
-    if stem_kernel and use_space_to_depth:
-        x = _stem_kernel_path(params, x, dtype)
+    q_2b = q.get("conv_2b") if q is not None else None
+    if stem_kernel and use_space_to_depth and q_2b is None:
+        # Keep the stem kernel's native (B, Ts, Hp, 64, Wp) layout and fold
+        # the NDHWC relayout into conv_2b's 1x1x1 contraction: the matmul
+        # contracts the 64-channel axis where it already lives, so the
+        # 51 MB transpose copy (0.54 ms/call in the round-5 trace)
+        # disappears and the dot's output IS NDHWC.
+        y = _stem_kernel_path(params, x, dtype, transpose=False)
+        kern, bias = _folded(params["conv_2b"]["conv1"],
+                             params["conv_2b"]["bn1"], dtype)
+        w = kern.reshape(kern.shape[-2], kern.shape[-1])  # (64, C_out)
+        x = jax.nn.relu(jax.lax.dot_general(
+            y, w, dimension_numbers=(((3,), (0,)), ((), ()))) + bias)
     else:
-        if use_space_to_depth:
+        if stem_kernel and use_space_to_depth:
+            x = _stem_kernel_path(params, x, dtype)
+        elif use_space_to_depth:
             x = space_to_depth(x)
             x = conv(params["conv1"], x, (2, 4, 4), stride=1, padding=(1, 2, 2))
             x = x[:, 1:, 1:, 1:, :]
+            x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
         else:
             x = conv(params["conv1"], x, (3, 7, 7), stride=2, padding=(1, 3, 3))
-        x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
-    if q is not None and "conv_2b" in q:
-        x = _int8_conv1x1(q["conv_2b"], x, collect, "conv_2b")
-    else:
-        x = conv(params["conv_2b"], x, 1)
+            x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
+        if q_2b is not None:
+            x = _int8_conv1x1(q_2b, x, collect, "conv_2b")
+        else:
+            x = conv(params["conv_2b"], x, 1)
     x = conv(params["conv_2c"], x, 3, padding=1, separable=True)
     # Self-gating deferred past the pool (see _inception_block defer_gate):
     # the gate mean reads the 56^2 activation, the multiply runs at 28^2.
@@ -313,8 +352,7 @@ def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
     # optimization_barrier measured NEGATIVE — 1675 -> 1531 clips/s: the
     # 1.56 ms fused epilogue already hides the reduce behind the conv; a
     # separate reduce pays a second full read of the 154 MB activation.)
-    gate = _gate(params["gating"],
-                 x.mean(axis=(1, 2, 3), dtype=jnp.float32)).astype(dtype)
+    gate = _gate(params["gating"], _spatial_mean(x)).astype(dtype)
     x = max_pool_3d_tf_padding(x, (1, 3, 3), (1, 2, 2))
     x = x * gate[:, None, None, None, :]
 
@@ -335,7 +373,7 @@ def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
     # The global mean is linear, so mixed_5c's gate commutes through it and
     # multiplies a (B, C) vector instead of the (B, T, H, W, C) tensor.
     x, gate = block("mixed_5c", x, defer_gate=True)
-    x = x.mean(axis=(1, 2, 3), dtype=jnp.float32).astype(dtype)
+    x = _spatial_mean(x).astype(dtype)
     if gate is not None:
         x = x * gate
     if use_last_layer:
