@@ -84,7 +84,11 @@ def _spatial_mean(x):
     measured ~99 GB/s on v5e (1.56 ms for conv_2c's 154 MB activation,
     profile_s3dg round-5); the matmul form streams at HBM rate with fp32
     accumulation on the MXU. Same values as mean(dtype=float32) up to
-    summation order."""
+    summation order. S3DG_MEANMM=0 pins the plain reduce (A/B arm)."""
+    import os
+
+    if os.environ.get("S3DG_MEANMM", "1") == "0":
+        return x.mean(axis=tuple(range(1, x.ndim - 1)), dtype=jnp.float32)
     b, c = x.shape[0], x.shape[-1]
     rows = 1
     for d in x.shape[1:-1]:
@@ -223,14 +227,21 @@ def _inception_block(params, x, widths, dtype, defer_gate=False,
     # instead of four slice reduces + four narrow matmuls (the trace's
     # biggest non-stem bucket). Off-diagonal zeros contribute exactly 0:
     # bitwise the same math.
-    pooled = _spatial_mean(out)
-    kernel = jax.scipy.linalg.block_diag(*(
-        params[f"gating_b{i}"]["fc"]["kernel"].astype(jnp.float32)
-        for i in range(4)))
-    bias = jnp.concatenate([
-        params[f"gating_b{i}"]["fc"]["bias"].astype(jnp.float32)
-        for i in range(4)])
-    gates = jax.nn.sigmoid(pooled @ kernel + bias).astype(dtype)
+    import os
+
+    if os.environ.get("S3DG_GATEMM", "1") == "0":  # A/B arm: round-4 form
+        gates = jnp.concatenate([
+            _gate(params[f"gating_b{i}"], _spatial_mean(part))
+            for i, part in enumerate(parts)], axis=-1).astype(dtype)
+    else:
+        pooled = _spatial_mean(out)
+        kernel = jax.scipy.linalg.block_diag(*(
+            params[f"gating_b{i}"]["fc"]["kernel"].astype(jnp.float32)
+            for i in range(4)))
+        bias = jnp.concatenate([
+            params[f"gating_b{i}"]["fc"]["bias"].astype(jnp.float32)
+            for i in range(4)])
+        gates = jax.nn.sigmoid(pooled @ kernel + bias).astype(dtype)
     if defer_gate:
         # The caller max-pools next: sigmoid gates are positive per-channel
         # scales, and max commutes with positive scaling, so the multiply
@@ -317,8 +328,11 @@ def s3dg_fast_apply(params, video: jnp.ndarray, dtype=jnp.bfloat16,
         raise ValueError("int8 forward needs quantize_s3dg_fast params")
     x = video.astype(dtype)
     conv = partial(_st_conv, dtype=dtype)
+    import os
+
     q_2b = q.get("conv_2b") if q is not None else None
-    if stem_kernel and use_space_to_depth and q_2b is None:
+    fold_2b = os.environ.get("S3DG_FOLD2B", "1") != "0"
+    if stem_kernel and use_space_to_depth and q_2b is None and fold_2b:
         # Keep the stem kernel's native (B, Ts, Hp, 64, Wp) layout and fold
         # the NDHWC relayout into conv_2b's 1x1x1 contraction: the matmul
         # contracts the 64-channel axis where it already lives, so the
