@@ -84,10 +84,13 @@ def _spatial_mean(x):
     measured ~99 GB/s on v5e (1.56 ms for conv_2c's 154 MB activation,
     profile_s3dg round-5); the matmul form streams at HBM rate with fp32
     accumulation on the MXU. Same values as mean(dtype=float32) up to
-    summation order. S3DG_MEANMM=0 pins the plain reduce (A/B arm)."""
+    summation order. Interleaved e2e A/B (scripts/bench_s3dg_e2e_ab.py)
+    measured the MXU form slightly NEGATIVE in-model (-0.9%: the isolated
+    99 GB/s reduce overlaps with neighbors that the dot form serializes
+    against), so the plain reduce is the default; S3DG_MEANMM=1 opts in."""
     import os
 
-    if os.environ.get("S3DG_MEANMM", "1") == "0":
+    if os.environ.get("S3DG_MEANMM", "0") == "0":
         return x.mean(axis=tuple(range(1, x.ndim - 1)), dtype=jnp.float32)
     b, c = x.shape[0], x.shape[-1]
     rows = 1
